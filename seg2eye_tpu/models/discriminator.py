@@ -1,0 +1,79 @@
+"""Multiscale PatchGAN discriminator.
+
+Parity notes (reference: models/networks/discriminator.py):
+  * NLayerDiscriminator: k=4 convs with torch padding 2 (asymmetric output
+    sizes reproduced via explicit padding), nf 64 -> min(512), n_layers_D=4,
+    stride 1 on the last middle layer; first and final convs are plain
+    (no spectral/norm), middle convs are spectral + param-free instance norm
+    with bias removed (discriminator.py:76-116).
+  * Returns per-layer intermediates (after each conv[+norm]+lrelu group) when
+    feature matching is on (discriminator.py:110-116).
+  * MultiscaleDiscriminator: num_D copies; input avg-pool downsampled
+    (k3 s2 p1, count_include_pad=False) between scales (discriminator.py:30-63).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import flax.linen as nn
+import jax
+
+from seg2eye_tpu.models.layers import SpectralConv, instance_norm
+from seg2eye_tpu.ops.image import avg_pool_3x3s2
+
+
+class NLayerDiscriminator(nn.Module):
+    ndf: int = 64
+    n_layers: int = 4
+    norm_d: str = "spectralinstance"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_stats: bool = False
+                 ) -> List[jax.Array]:
+        spectral = "spectral" in self.norm_d
+        pad = ((2, 2), (2, 2))
+        results = []
+
+        x = SpectralConv(self.ndf, (4, 4), strides=(2, 2), padding=pad,
+                         use_bias=True, spectral=False, name="model0_conv")(x)
+        x = nn.leaky_relu(x, 0.2)
+        results.append(x)
+
+        nf = self.ndf
+        for n in range(1, self.n_layers):
+            nf = min(nf * 2, 512)
+            stride = 1 if n == self.n_layers - 1 else 2
+            x = SpectralConv(nf, (4, 4), strides=(stride, stride), padding=pad,
+                             use_bias=False, spectral=spectral,
+                             name=f"model{n}_conv")(x, update_stats)
+            x = instance_norm(x)
+            x = nn.leaky_relu(x, 0.2)
+            results.append(x)
+
+        x = SpectralConv(1, (4, 4), strides=(1, 1), padding=pad,
+                         use_bias=True, spectral=False,
+                         name=f"model{self.n_layers}_conv")(x)
+        results.append(x)
+        return results
+
+
+class MultiscaleDiscriminator(nn.Module):
+    ndf: int = 64
+    n_layers: int = 4
+    num_d: int = 2
+    norm_d: str = "spectralinstance"
+    get_intermediate_features: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_stats: bool = False
+                 ) -> List[List[jax.Array]]:
+        result = []
+        for i in range(self.num_d):
+            out = NLayerDiscriminator(self.ndf, self.n_layers, self.norm_d,
+                                      name=f"discriminator_{i}")(x, update_stats)
+            if not self.get_intermediate_features:
+                out = [out[-1]]
+            result.append(out)
+            if i != self.num_d - 1:
+                x = avg_pool_3x3s2(x)
+        return result

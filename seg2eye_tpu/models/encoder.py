@@ -1,0 +1,62 @@
+"""Convolutional style encoder.
+
+Parity notes (reference: models/networks/encoder.py):
+  * 6 stride-2 3x3 spectral convs (bias removed by the norm wrapper) each
+    followed by param-free instance norm; NO activation between layers — the
+    reference builds Sequential(conv, norm) groups and only applies LeakyReLU
+    once at the very end (encoder.py:28-71).  We reproduce that exactly.
+  * Any input is bilinearly resized to 256x256 first (encoder.py:53-55).
+  * Flatten 4x4x(8*ngf) -> fc_mu / fc_var Linear(-> w_dim) (encoder.py:46-48).
+  * Returns (mu, logvar, [per-layer feature maps]).
+
+TPU-first design: the per-sample python loop over k style images in the
+reference (models/pix2pix_model.py:285) becomes a single (B*k) fused batch —
+see ``encode_w`` in models/pix2pix.py.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from seg2eye_tpu.models.layers import (SpectralConv, instance_norm,
+                                       xavier_normal_init)
+from seg2eye_tpu.ops.image import resize_bilinear
+
+
+class ConvEncoder(nn.Module):
+    ngf: int = 64
+    w_dim: int = 16
+    crop_size: int = 256
+    norm_e: str = "spectralinstance"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_stats: bool = False
+                 ) -> Tuple[jax.Array, jax.Array, List[jax.Array]]:
+        """x: (N,H,W,1) in [-1,1]. Returns (mu, logvar, features)."""
+        spectral = "spectral" in self.norm_e
+        ndf = self.ngf
+        if x.shape[1] != 256 or x.shape[2] != 256:
+            x = resize_bilinear(x, 256, 256)
+
+        widths = [ndf, ndf * 2, ndf * 4, ndf * 8, ndf * 8]
+        if self.crop_size >= 256:
+            widths.append(ndf * 8)
+
+        features = []
+        for i, w_ch in enumerate(widths):
+            x = SpectralConv(w_ch, (3, 3), strides=(2, 2),
+                             padding=((1, 1), (1, 1)), use_bias=False,
+                             spectral=spectral, name=f"layer{i}")(x, update_stats)
+            x = instance_norm(x)
+            features.append(x)
+
+        out = nn.leaky_relu(x, 0.2)
+        out = out.reshape(out.shape[0], -1)
+        mu = nn.Dense(self.w_dim, kernel_init=xavier_normal_init(0.02),
+                      name="fc_mu")(out.astype(jnp.float32))
+        logvar = nn.Dense(self.w_dim, kernel_init=xavier_normal_init(0.02),
+                          name="fc_var")(out.astype(jnp.float32))
+        return mu, logvar, features

@@ -1,0 +1,171 @@
+"""Shared building blocks: initializers, spectral norm, param-free norms.
+
+Parity notes:
+  * ``xavier_normal_init`` matches torch init.xavier_normal_(gain) with the
+    torch fan convention (fan includes the receptive field), used by
+    BaseNetwork.init_weights (reference: models/networks/base_network.py:28-52,
+    init_type='xavier', gain=opt.init_variance=0.02).
+  * ``SpectralConv`` matches torch.nn.utils.spectral_norm semantics: one power
+    iteration per training forward, u persisted, sigma treated as a function
+    of the kernel with u/v stopped (reference wraps convs in
+    models/networks/normalization.py:26, architecture.py:31-35).
+    The power-iteration vector lives in the mutable ``spectral`` collection.
+  * ``instance_norm`` = torch InstanceNorm2d(affine=False) (eps 1e-5, always
+    batch statistics — torch's track_running_stats defaults to False).
+  * Param-free batch norm uses flax BatchNorm(use_scale=False, use_bias=False)
+    with torch's momentum (0.1 -> flax momentum 0.9).  Under a sharded batch
+    the plain jnp reductions become cross-device collectives automatically,
+    giving synchronized BN over the ``data`` mesh axis (the TPU-idiomatic
+    replacement for the reference's threaded SyncBN,
+    refinenet/deeplab/modeling/sync_batchnorm/).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _torch_fans(shape: Sequence[int]) -> Tuple[int, int]:
+    """fan_in/fan_out with torch's convention. Kernel layouts:
+    conv HWIO (kh,kw,I,O); linear (I,O)."""
+    if len(shape) == 2:
+        fan_in, fan_out = shape[0], shape[1]
+    else:
+        receptive = 1
+        for s in shape[:-2]:
+            receptive *= s
+        fan_in = shape[-2] * receptive
+        fan_out = shape[-1] * receptive
+    return fan_in, fan_out
+
+
+def xavier_normal_init(gain: float = 0.02) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = _torch_fans(shape)
+        std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+        return jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+def he_fc_init(gain: float = 1.0) -> Callable:
+    """StyleGAN FC init: randn * gain * in^-0.5 with lrmul=1
+    (reference: models/networks/normalization.py:108-129, use_wscale=False)."""
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, _ = _torch_fans(shape)
+        std = gain * fan_in ** (-0.5)
+        return jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Param-free instance norm over (H, W), NHWC."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+class ParamFreeBatchNorm(nn.Module):
+    """torch BatchNorm2d(affine=False) equivalent with running stats."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum, epsilon=self.epsilon,
+            use_bias=False, use_scale=False, dtype=jnp.float32,
+        )(x)
+
+
+def _l2_normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+class SpectralConv(nn.Module):
+    """2D conv with optional spectral normalization (NHWC / HWIO).
+
+    ``padding`` takes explicit ((t,b),(l,r)) pairs to reproduce torch conv
+    shape arithmetic exactly (e.g. the k=4 p=2 discriminator convs,
+    models/networks/discriminator.py:87-103).
+    """
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((1, 1), (1, 1))
+    use_bias: bool = True
+    spectral: bool = True
+    kernel_init: Callable = xavier_normal_init(0.02)
+    dtype: Any = None  # compute dtype; params stay f32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_stats: bool = False) -> jax.Array:
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, in_ch, self.features))
+        if self.spectral:
+            # torch reshapes (O,I,kh,kw)->(O,N); we use M=(O,N) built from HWIO.
+            w_mat = kernel.reshape(-1, self.features).T  # (O, N)
+            u_var = self.variable(
+                "spectral", "u",
+                lambda: _l2_normalize(
+                    jax.random.normal(self.make_rng("params")
+                                      if self.has_rng("params") else
+                                      jax.random.PRNGKey(0),
+                                      (self.features,))))
+            u = u_var.value
+            if update_stats and not self.is_initializing():
+                w_ng = jax.lax.stop_gradient(w_mat)
+                v = _l2_normalize(w_ng.T @ u)
+                u = _l2_normalize(w_ng @ v)
+                u_var.value = u
+            else:
+                v = _l2_normalize(jax.lax.stop_gradient(w_mat).T @ u)
+            u = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+            sigma = jnp.dot(u, w_mat @ v)
+            kernel = kernel / sigma
+
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y.astype(dtype)
+
+
+class FCStyle(nn.Module):
+    """StyleGAN 'FC' layer: scaled linear + LeakyReLU(0.2)
+    (reference: models/networks/normalization.py:108-141; the class name 'FC'
+    escapes BaseNetwork.init_weights' re-init, so the custom He init is the
+    effective one)."""
+    features: int
+    gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", he_fc_init(self.gain),
+                       (x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.dot(x.astype(jnp.float32), w) + b
+        return nn.leaky_relu(y, 0.2).astype(x.dtype)
+
+
+def leaky_relu02(x: jax.Array) -> jax.Array:
+    return nn.leaky_relu(x, 0.2)
+
+
+def param_count(params) -> int:
+    import math
+    return sum(math.prod(p.shape) for p in jax.tree_util.tree_leaves(params))

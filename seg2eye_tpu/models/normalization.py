@@ -1,0 +1,128 @@
+"""SPADE / AdaIN / SPADE+Style conditional normalization blocks.
+
+Parity notes (reference: models/networks/normalization.py):
+  * ``Spade``: param-free norm (batch or instance per norm_G config), then
+    gamma/beta from the seg map through a shared 128-ch 3x3 conv MLP,
+    ``out = norm * (1 + gamma) + beta`` (normalization.py:63-105).
+  * ``ApplyStyle``: FC(w -> 2C) with LeakyReLU inside FC, then
+    ``x * (scale + 1) + offset`` (normalization.py:144-169).
+  * ``SpadeStyleBlock``: (SPADE(x,seg) + AdaIN(x,w)) / 2
+    (normalization.py:172-192).
+
+TPU-first deviation: instead of re-interpolating the full-res seg map inside
+every SPADE call (normalization.py:97 — up to 21 interpolations per generator
+forward), the generator precomputes one nearest-resized seg pyramid per
+resolution and passes the right level in.  Numerics are identical because
+nearest-neighbor resampling commutes with reuse.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from seg2eye_tpu.models.layers import (FCStyle, ParamFreeBatchNorm,
+                                       SpectralConv, instance_norm,
+                                       xavier_normal_init)
+
+
+def parse_norm_g(norm_g: str) -> Tuple[bool, str, int]:
+    """'spectralspadebatch3x3' -> (spectral=True, param_free='batch', ks=3)
+    (reference: normalization.py:66-69 + architecture.py:31)."""
+    spectral = "spectral" in norm_g
+    cfg = norm_g.replace("spectral", "")
+    assert cfg.startswith("spade"), norm_g
+    rest = cfg[len("spade"):]
+    ks = int(rest[-3])
+    param_free = rest[:-3]
+    return spectral, param_free, ks
+
+
+class Spade(nn.Module):
+    """Spatially-adaptive denormalization conditioned on the seg map."""
+    param_free: str = "batch"     # 'batch' | 'instance'
+    ks: int = 3
+    nhidden: int = 128            # hardcoded in the reference (line 81)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, segmap: jax.Array,
+                 use_running_average: bool = False) -> jax.Array:
+        if self.param_free == "instance":
+            normalized = instance_norm(x)
+        elif self.param_free == "batch":
+            normalized = ParamFreeBatchNorm()(x, use_running_average)
+        else:
+            raise ValueError(self.param_free)
+
+        pad = self.ks // 2
+        conv = lambda feats, name: SpectralConv(  # noqa: E731
+            feats, (self.ks, self.ks), padding=((pad, pad), (pad, pad)),
+            spectral=False, name=name)
+        actv = nn.relu(conv(self.nhidden, "mlp_shared")(segmap.astype(x.dtype)))
+        gamma = conv(x.shape[-1], "mlp_gamma")(actv)
+        beta = conv(x.shape[-1], "mlp_beta")(actv)
+        return normalized.astype(x.dtype) * (1.0 + gamma) + beta
+
+
+class ApplyStyle(nn.Module):
+    """AdaIN-style modulation from the latent style vector w."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, w: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        style = FCStyle(c * 2, gain=1.0, name="linear")(w)   # (B, 2C)
+        scale = style[:, :c][:, None, None, :]
+        offset = style[:, c:][:, None, None, :]
+        return x * (scale + 1.0) + offset
+
+
+class SpadeStyleBlock(nn.Module):
+    """(SPADE + AdaIN)/2 combined conditional norm."""
+    param_free: str = "batch"
+    ks: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array, segmap: jax.Array, w: jax.Array,
+                 use_running_average: bool = False) -> jax.Array:
+        out_adain = ApplyStyle(name="adain")(x, w)
+        out_spade = Spade(self.param_free, self.ks, name="spade")(
+            x, segmap, use_running_average)
+        return (out_spade + out_adain) * 0.5
+
+
+class SpadeStyleResnetBlock(nn.Module):
+    """ResNet block with SPADE+Style norms (reference:
+    models/networks/architecture.py:13-62)."""
+    fin: int
+    fout: int
+    spectral: bool = True
+    param_free: str = "batch"
+    ks: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array, segmap: jax.Array, w: jax.Array,
+                 update_stats: bool = False,
+                 use_running_average: bool = False) -> jax.Array:
+        fmiddle = min(self.fin, self.fout)
+        learned_shortcut = self.fin != self.fout
+        norm = lambda name: SpadeStyleBlock(  # noqa: E731
+            self.param_free, self.ks, name=name)
+        conv = lambda feats, k, bias, name: SpectralConv(  # noqa: E731
+            feats, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
+            use_bias=bias, spectral=self.spectral, name=name)
+
+        if learned_shortcut:
+            x_s = conv(self.fout, 1, False, "conv_s")(
+                norm("norm_s")(x, segmap, w, use_running_average), update_stats)
+        else:
+            x_s = x
+
+        dx = conv(fmiddle, 3, True, "conv_0")(
+            nn.leaky_relu(norm("norm_0")(x, segmap, w, use_running_average), 0.2),
+            update_stats)
+        dx = conv(self.fout, 3, True, "conv_1")(
+            nn.leaky_relu(norm("norm_1")(dx, segmap, w, use_running_average), 0.2),
+            update_stats)
+        return x_s + dx

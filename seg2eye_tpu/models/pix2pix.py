@@ -1,0 +1,269 @@
+"""Pix2Pix (Seg2Eye) model orchestration: pure-functional loss computation.
+
+Mirrors models/pix2pix_model.py of the reference, re-expressed as pure
+functions over explicit flax variable collections so the whole G/D step jits
+into single XLA programs.
+
+Parity notes:
+  * k-style encoding: the reference loops netE over every sample's k style
+    images in Python (pix2pix_model.py:285) and mean/max-aggregates mu and the
+    feature maps over k (pix2pix_model.py:271-305).  Here the (B,k) axes are
+    flattened into one fused encoder batch — identical math, one XLA call.
+  * discriminate(): fake and real are concatenated into one 2B batch before D
+    (pix2pix_model.py:328-342) and split per-layer after (divide_pred,
+    pix2pix_model.py:345-358).
+  * generator loss = GAN + optional L2/L1/OpenEDS + style-consistency
+    (w/feat/gram) + D-feature-matching (pix2pix_model.py:186-247).  The
+    reference's `.detach()` calls on the fake latent/features are no-ops
+    (results unassigned) — gradients flow through both sides; reproduced.
+  * discriminator loss = hinge on fake & real with fake re-generated under
+    stop-gradient (pix2pix_model.py:249-264).
+  * VGGLoss is referenced but undefined in the fork (dead code; SURVEY §2 C10)
+    and no_vgg_loss defaults True — intentionally not implemented.
+  * The raw-vs-weighted loss log side channel (pix2pix_model.py:49-59) is
+    reproduced by returning `raw` entries alongside weighted ones.
+
+Mutable state: 'spectral' (power-iteration u vectors) and 'batch_stats'
+(SPADE param-free BN running stats) follow torch train-mode semantics: they
+update on every training forward, including D's forward inside the G step and
+G's no-grad forward inside the D step.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from seg2eye_tpu.models.discriminator import MultiscaleDiscriminator
+from seg2eye_tpu.models.encoder import ConvEncoder
+from seg2eye_tpu.models.generator import SpadeStyleGenerator
+from seg2eye_tpu.ops import losses as L
+from seg2eye_tpu.ops import metrics
+from seg2eye_tpu.ops.image import one_hot_label
+from seg2eye_tpu.options import Options
+
+MUTABLE = ["spectral", "batch_stats"]
+
+
+class Pix2Pix:
+    """Holds the three module definitions + static config. Stateless."""
+
+    def __init__(self, opt: Options):
+        self.opt = opt
+        self.dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+        self.gen = SpadeStyleGenerator(
+            ngf=opt.ngf, output_nc=opt.output_nc, semantic_nc=opt.semantic_nc,
+            crop_size=opt.crop_size, aspect_ratio=opt.aspect_ratio,
+            num_upsampling_layers=opt.num_upsampling_layers,
+            norm_g=opt.norm_G, w_dim=opt.w_dim)
+        self.enc = ConvEncoder(ngf=opt.ngf, w_dim=opt.w_dim,
+                               crop_size=opt.crop_size, norm_e=opt.norm_E)
+        self.disc = MultiscaleDiscriminator(
+            ndf=opt.ndf, n_layers=opt.n_layers_D, num_d=opt.num_D,
+            norm_d=opt.norm_D,
+            get_intermediate_features=not opt.no_ganFeat_loss)
+
+    # ------------------------------------------------------------------ #
+    # init
+    # ------------------------------------------------------------------ #
+    def init_variables(self, rng: jax.Array, with_disc: bool = True) -> Dict:
+        # jitted as ONE program: eager per-op compiles are pathologically slow
+        # on small hosts (~0.4s per op), one fused init compile is not.
+        return jax.jit(self._init_variables,
+                       static_argnums=(1,))(rng, with_disc)
+
+    def _init_variables(self, rng: jax.Array, with_disc: bool = True) -> Dict:
+        opt = self.opt
+        h, w = opt.image_height, opt.image_width
+        kg, ke, kd = jax.random.split(rng, 3)
+        seg = jnp.zeros((1, h, w, opt.semantic_nc), self.dtype)
+        wvec = jnp.zeros((1, opt.w_dim), jnp.float32)
+        img = jnp.zeros((1, h, w, opt.input_nc), self.dtype)
+        variables = {
+            "G": self.gen.init(kg, seg, wvec),
+            "E": self.enc.init(ke, img),
+        }
+        if with_disc:
+            d_in = jnp.zeros((2, h, w, opt.semantic_nc + opt.output_nc),
+                             self.dtype)
+            variables["D"] = self.disc.init(kd, d_in)
+        return variables
+
+    # ------------------------------------------------------------------ #
+    # forward pieces
+    # ------------------------------------------------------------------ #
+    def preprocess(self, batch: Dict) -> Tuple[jax.Array, jax.Array,
+                                               Optional[jax.Array]]:
+        """one-hot the label map; cast to compute dtype
+        (pix2pix_model.py:138-160)."""
+        seg = one_hot_label(batch["label"], self.opt.semantic_nc).astype(self.dtype)
+        style = batch["style_image"].astype(self.dtype)
+        target = batch.get("target")
+        if target is not None:
+            target = target.astype(self.dtype)
+        return seg, style, target
+
+    def encode_w(self, variables: Dict, style: jax.Array, train: bool
+                 ) -> Tuple[jax.Array, List[jax.Array], Dict]:
+        """style: (B,k,H,W,1) -> (w (B,w_dim), aggregated features, new E vars)."""
+        b, k = style.shape[:2]
+        flat = style.reshape(b * k, *style.shape[2:])
+        if train:
+            (mu, logvar, feats), mut = self.enc.apply(
+                variables["E"], flat, update_stats=True, mutable=MUTABLE)
+            new_e = {**variables["E"], **mut}
+        else:
+            mu, logvar, feats = self.enc.apply(variables["E"], flat,
+                                               update_stats=False)
+            new_e = variables["E"]
+        mu = mu.reshape(b, k, -1)
+        feats = [f.reshape(b, k, *f.shape[1:]) for f in feats]
+        w = self._aggregate(mu, axis=1)
+        feats = [self._aggregate(f, axis=1) for f in feats]
+        return w, feats, new_e
+
+    def _aggregate(self, t: jax.Array, axis: int) -> jax.Array:
+        if self.opt.style_aggr_method == "mean":
+            return jnp.mean(t, axis=axis)
+        if self.opt.style_aggr_method == "max":
+            return jnp.max(t, axis=axis)
+        raise ValueError(self.opt.style_aggr_method)
+
+    def generate(self, variables: Dict, seg: jax.Array, w: jax.Array,
+                 train: bool) -> Tuple[jax.Array, Dict]:
+        if train:
+            fake, mut = self.gen.apply(
+                variables["G"], seg, w.astype(jnp.float32),
+                update_stats=True, use_running_average=False, mutable=MUTABLE)
+            return fake, {**variables["G"], **mut}
+        ura = self.opt.eval_use_running_stats
+        if ura:
+            fake = self.gen.apply(variables["G"], seg, w.astype(jnp.float32),
+                                  update_stats=False, use_running_average=True)
+        else:
+            # reference parity: inference runs in torch train mode (the
+            # Tester never calls .eval(), SURVEY §2 C12), i.e. batch stats.
+            # flax requires mutability for that; updates are discarded.
+            fake, _ = self.gen.apply(variables["G"], seg,
+                                     w.astype(jnp.float32),
+                                     update_stats=False,
+                                     use_running_average=False,
+                                     mutable=["batch_stats"])
+        return fake, variables["G"]
+
+    def generate_fake(self, variables: Dict, seg: jax.Array, style: jax.Array,
+                      train: bool):
+        w, feats, new_e = self.encode_w(variables, style, train)
+        fake, new_g = self.generate(variables, seg, w, train)
+        return fake, w, feats, {"G": new_g, "E": new_e}
+
+    def discriminate(self, variables: Dict, seg: jax.Array, fake: jax.Array,
+                     real: jax.Array, train: bool):
+        fake_concat = jnp.concatenate([seg, fake], axis=-1)
+        real_concat = jnp.concatenate([seg, real], axis=-1)
+        both = jnp.concatenate([fake_concat, real_concat], axis=0)
+        if train:
+            out, mut = self.disc.apply(variables["D"], both,
+                                       update_stats=True, mutable=MUTABLE)
+            new_d = {**variables["D"], **mut}
+        else:
+            out = self.disc.apply(variables["D"], both, update_stats=False)
+            new_d = variables["D"]
+        half = fake.shape[0]
+        pred_fake = [[t[:half] for t in scale] for scale in out]
+        pred_real = [[t[half:] for t in scale] for scale in out]
+        return pred_fake, pred_real, new_d
+
+    # ------------------------------------------------------------------ #
+    # losses
+    # ------------------------------------------------------------------ #
+    def generator_loss(self, variables: Dict, batch: Dict
+                       ) -> Tuple[jax.Array, Tuple[Dict, jax.Array, Dict]]:
+        """Returns (total_loss, (loss_dict, fake_image, new_variables))."""
+        opt = self.opt
+        seg, style, target = self.preprocess(batch)
+        fake, w_real, feats_real, newv = self.generate_fake(
+            variables, seg, style, train=True)
+        pred_fake, pred_real, new_d = self.discriminate(
+            {**variables}, seg, fake, target, train=True)
+        newv["D"] = new_d
+
+        losses: Dict[str, jax.Array] = {}
+        raw: Dict[str, jax.Array] = {}
+        losses["GAN"] = L.gan_loss(pred_fake, True, for_discriminator=False,
+                                   mode=opt.gan_mode)
+        if opt.lambda_l2:
+            l2 = L.l2_loss(fake, target)
+            losses["L2/weighted"] = l2 * opt.lambda_l2
+            raw["L2/raw"] = l2
+        if opt.lambda_l1:
+            l1 = L.l1_loss(fake, target)
+            losses["L1/weighted"] = l1 * opt.lambda_l1
+            raw["L1/raw"] = l1
+        if opt.lambda_openeds:
+            eds = jnp.mean(metrics.mse_for_tensors(fake.astype(jnp.float32),
+                                                   target.astype(jnp.float32)))
+            losses["openeds/weighted"] = eds * opt.lambda_openeds
+            raw["openeds/raw"] = eds
+
+        if opt.lambda_style_feat or opt.lambda_style_w or opt.lambda_gram:
+            w_fake, feats_fake, new_e2 = self.encode_w(
+                {"E": newv["E"]}, fake[:, None], train=True)
+            newv["E"] = new_e2
+            if opt.lambda_style_w > 0:
+                sw = L.l2_loss(w_fake, w_real)
+                losses["style_w/weighted"] = sw * opt.lambda_style_w
+                raw["style_w/raw"] = sw
+            if opt.lambda_style_feat > 0:
+                sf = L.multi_feature_mse(feats_fake, feats_real)
+                losses["style_feat/weighted"] = sf * opt.lambda_style_feat
+                raw["style_feat/raw"] = sf
+            if opt.lambda_gram > 0:
+                gl = L.multi_gram_loss(feats_fake, feats_real)
+                losses["gram/weighted"] = gl * opt.lambda_gram
+                raw["gram/raw"] = gl
+
+        if not opt.no_ganFeat_loss:
+            losses["GAN_Feat"] = L.feature_matching_loss(
+                pred_fake, pred_real, opt.lambda_feat)
+
+        total = sum(jnp.mean(v) for v in losses.values())
+        return total, ({**losses, **raw}, fake, newv)
+
+    def discriminator_loss(self, variables: Dict, batch: Dict,
+                           fake: Optional[jax.Array] = None
+                           ) -> Tuple[jax.Array, Tuple[Dict, Dict]]:
+        """If ``fake`` is None it is generated under stop-gradient
+        (pix2pix_model.py:251-254)."""
+        opt = self.opt
+        seg, style, target = self.preprocess(batch)
+        newv = dict(variables)
+        if fake is None:
+            fake, _, _, gen_new = self.generate_fake(variables, seg, style,
+                                                     train=True)
+            newv.update(gen_new)
+        fake = jax.lax.stop_gradient(fake)
+        pred_fake, pred_real, new_d = self.discriminate(
+            variables, seg, fake, target, train=True)
+        newv["D"] = new_d
+        losses = {
+            "D/Fake": L.gan_loss(pred_fake, False, for_discriminator=True,
+                                 mode=opt.gan_mode),
+            "D/real": L.gan_loss(pred_real, True, for_discriminator=True,
+                                 mode=opt.gan_mode),
+        }
+        total = sum(jnp.mean(v) for v in losses.values())
+        return total, (losses, newv)
+
+    # ------------------------------------------------------------------ #
+    # inference
+    # ------------------------------------------------------------------ #
+    def inference(self, variables: Dict, batch: Dict,
+                  latent_style: Optional[jax.Array] = None) -> jax.Array:
+        """mode='inference' (pix2pix_model.py:79-88)."""
+        seg, style, _ = self.preprocess(batch)
+        if latent_style is None:
+            latent_style, _, _ = self.encode_w(variables, style, train=False)
+        fake, _ = self.generate(variables, seg, latent_style, train=False)
+        return fake.astype(jnp.float32)
