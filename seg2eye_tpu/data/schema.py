@@ -1,0 +1,118 @@
+"""OpenEDS H5 schema + synthetic fixture writer.
+
+Schema (reference: data/prepare_openeds.py:77-138, data/openeds_dataset.py:44-66):
+
+    <file.h5>
+      train/ | validation/ | test/
+        <user_id>/                       e.g. "U111"
+          images_ss             (N, 640, 400) uint8   labeled images
+          labels_ss             (N, 640, 400) uint8   4-class masks
+          images_ss_filenames   (N,) S13
+          images_gen            (M, 640, 400) uint8   unlabeled (generative)
+          images_gen_filenames  (M,) S13
+          images_seq            (K, 640, 400) uint8   sequence frames
+          images_seq_filenames  (K,) S13
+        -- test split instead has: images_ss, labels_gen, labels_gen_filenames,
+           images_seq (openeds_dataset.py:46-48)
+
+Style-ref ranking file (openeds_dataset.py:150-209):
+
+    <style_ref.h5>
+      <dataset_key>/<user>/<filename>/index   (R,) int     similarity ranking
+      <dataset_key>/<user>/<filename>/subset  (R,) S1      b'g' | b's' (optional)
+
+The synthetic writer emits schema-complete tiny files for tests
+(SURVEY.md §4c).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+import h5py
+import numpy as np
+
+NATIVE_H, NATIVE_W = 640, 400  # OpenEDS native resolution (SURVEY.md §0)
+TRAIN_KEYS = ("images_ss", "labels_ss", "images_ss_filenames",
+              "images_gen", "images_gen_filenames",
+              "images_seq", "images_seq_filenames")
+TEST_KEYS = ("images_ss", "labels_gen", "labels_gen_filenames", "images_seq")
+
+
+def split_keys(dataset_key: str) -> Dict[str, str]:
+    """Split-dependent dataset names (openeds_dataset.py:44-48)."""
+    if dataset_key == "test":
+        return {"style_images": "images_ss", "labels": "labels_gen",
+                "filenames": "labels_gen_filenames"}
+    return {"style_images": "images_gen", "labels": "labels_ss",
+            "filenames": "images_ss_filenames"}
+
+
+def write_synthetic_h5(path: str, users: Sequence[str] = ("U001", "U002"),
+                       n_ss: int = 3, n_gen: int = 4, n_seq: int = 2,
+                       h: int = NATIVE_H, w: int = NATIVE_W,
+                       splits: Sequence[str] = ("train", "validation", "test"),
+                       seed: int = 0) -> str:
+    """Write a tiny schema-complete OpenEDS H5 fixture."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        for split in splits:
+            for user in users:
+                g = f.create_group(f"{split}/{user}")
+
+                def imgs(n):
+                    return rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+
+                def masks(n):
+                    return rng.integers(0, 4, (n, h, w)).astype(np.uint8)
+
+                def names(n, prefix):
+                    return np.array([f"{prefix}{user}_{i:06d}.png".encode()
+                                     for i in range(n)], dtype="S13")
+
+                if split == "test":
+                    g.create_dataset("images_ss", data=imgs(n_gen))
+                    g.create_dataset("labels_gen", data=masks(n_ss))
+                    g.create_dataset("labels_gen_filenames",
+                                     data=names(n_ss, "t"))
+                    g.create_dataset("images_seq", data=imgs(n_seq))
+                else:
+                    g.create_dataset("images_ss", data=imgs(n_ss))
+                    g.create_dataset("labels_ss", data=masks(n_ss))
+                    g.create_dataset("images_ss_filenames",
+                                     data=names(n_ss, "i"))
+                    g.create_dataset("images_gen", data=imgs(n_gen))
+                    g.create_dataset("images_gen_filenames",
+                                     data=names(n_gen, "g"))
+                    g.create_dataset("images_seq", data=imgs(n_seq))
+                    g.create_dataset("images_seq_filenames",
+                                     data=names(n_seq, "s"))
+    return path
+
+
+def write_synthetic_style_ref(path: str, data_path: str,
+                              use_subsets: bool = False, seed: int = 0) -> str:
+    """Similarity-ranking fixture joined against a data H5 (the structure the
+    reference documents at options/base_options.py:54-57)."""
+    rng = np.random.default_rng(seed)
+    with h5py.File(data_path, "r") as data, h5py.File(path, "w") as ref:
+        for split in data.keys():
+            keys = split_keys(split)
+            for user in data[split].keys():
+                grp = data[split][user]
+                n_style = grp[keys["style_images"]].shape[0]
+                n_seq = grp["images_seq"].shape[0] if "images_seq" in grp else 0
+                for raw in grp[keys["filenames"]][:]:
+                    fname = raw.decode("utf-8").replace(".", "")
+                    g = ref.create_group(f"{split}/{user}/{fname}")
+                    total = n_style + (n_seq if use_subsets else 0)
+                    order = rng.permutation(total)
+                    if use_subsets:
+                        subset = np.array(
+                            [b"g" if i < n_style else b"s" for i in order])
+                        # seq indices are offset by n_style in the ranking
+                        # (openeds_dataset.py:195-199)
+                        g.create_dataset("subset", data=subset)
+                    g.create_dataset("index", data=order.astype(np.int64))
+    return path

@@ -1,0 +1,140 @@
+"""Data pipeline tests against the documented H5 schema (SURVEY §2 C17/C20)."""
+import numpy as np
+import pytest
+
+from seg2eye_tpu.data import schema
+from seg2eye_tpu.data.loader import (DataLoader, create_dataloader,
+                                     create_inference_dataloader)
+from seg2eye_tpu.data.openeds import OpenEDSDataset
+from seg2eye_tpu.options import Options
+
+
+@pytest.fixture(scope="module")
+def h5_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("openeds")
+    data = schema.write_synthetic_h5(str(d / "data.h5"), h=64, w=40)
+    ref = schema.write_synthetic_style_ref(str(d / "ref.h5"), data,
+                                           use_subsets=True)
+    return data, ref
+
+
+def opt_for(data, **kw):
+    base = dict(dataroot=data, crop_size=32, aspect_ratio=1.0, input_ns=2,
+                batchSize=2, isTrain=True, seed=3)
+    base.update(kw)
+    return Options(**base).finalize()
+
+
+def test_index_and_len(h5_paths):
+    data, _ = h5_paths
+    ds = OpenEDSDataset(opt_for(data), dataset_key="train")
+    assert len(ds) == 6            # 2 users x 3 labeled each
+    assert ds.N_start == [0, 3]
+    assert ds._locate(0) == ("U001", 0)
+    assert ds._locate(3) == ("U002", 0)
+    assert ds._locate(5) == ("U002", 2)
+
+
+def test_getitem_shapes_and_ranges(h5_paths):
+    data, _ = h5_paths
+    opt = opt_for(data)
+    ds = OpenEDSDataset(opt, dataset_key="train")
+    rng = np.random.default_rng(0)
+    item = ds.__getitem__(1, rng=rng)
+    assert item["label"].shape == (32, 32) and item["label"].dtype == np.uint8
+    assert set(np.unique(item["label"])) <= {0, 1, 2, 3}
+    assert item["style_image"].shape == (2, 32, 32, 1)
+    assert item["target"].shape == (32, 32, 1)
+    assert item["target"].min() >= -1 and item["target"].max() <= 1
+    # target_original stays at native fixture res
+    assert item["target_original"].shape == (64, 40, 1)
+    assert item["user"] == "U001"
+
+
+def test_test_split_keys(h5_paths):
+    data, _ = h5_paths
+    opt = opt_for(data, dataset_key="test", isTrain=False, no_flip=True,
+                  serial_batches=True)
+    ds = OpenEDSDataset(opt)
+    item = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert "target" not in item          # no ground truth on test
+    assert item["style_image"].shape == (2, 32, 32, 1)
+
+
+def test_style_sampling_methods(h5_paths):
+    data, ref = h5_paths
+    rng = np.random.default_rng(0)
+    # first: deterministic (disable flip so the rng only affects sampling)
+    ds = OpenEDSDataset(opt_for(data, style_sample_method="first",
+                                no_flip=True), "train")
+    a = ds.__getitem__(0, rng=np.random.default_rng(1))
+    b = ds.__getitem__(0, rng=np.random.default_rng(2))
+    np.testing.assert_array_equal(a["style_image"], b["style_image"])
+    # ref_first: uses ranking file, spans gen+seq subsets
+    ds2 = OpenEDSDataset(opt_for(data, style_sample_method="ref_first",
+                                 style_ref=ref), "train")
+    item = ds2.__getitem__(0, rng=rng)
+    assert item["style_image"].shape == (2, 32, 32, 1)
+    # ref_random4
+    ds3 = OpenEDSDataset(opt_for(data, style_sample_method="ref_random4",
+                                 style_ref=ref), "train")
+    item3 = ds3.__getitem__(0, rng=rng)
+    assert item3["style_image"].shape == (2, 32, 32, 1)
+    # missing ref file -> clear error
+    ds4 = OpenEDSDataset(opt_for(data, style_sample_method="ref_first"),
+                         "train")
+    with pytest.raises(AssertionError):
+        ds4.__getitem__(0, rng=rng)
+
+
+def test_flip_consistency(h5_paths):
+    """Flip must apply to label, style, target AND target_original together."""
+    data, _ = h5_paths
+    opt = opt_for(data)
+    ds = OpenEDSDataset(opt, dataset_key="train")
+
+    # find rngs producing flip=True and flip=False
+    def item_with(flip):
+        for s in range(50):
+            rng = np.random.default_rng(s)
+            probe = rng.random()
+            if (probe > 0.5) == flip:
+                return ds.__getitem__(0, rng=np.random.default_rng(s))
+        raise AssertionError
+    it_f = item_with(True)
+    it_n = item_with(False)
+    np.testing.assert_array_equal(it_f["label"], it_n["label"][:, ::-1])
+    np.testing.assert_array_equal(it_f["target_original"][:, :, 0],
+                                  it_n["target_original"][:, ::-1, 0])
+
+
+def test_dataloader_batching(h5_paths):
+    data, _ = h5_paths
+    opt = opt_for(data)
+    dl = create_dataloader(opt)
+    assert len(dl) == 3            # 6 samples / bs 2, drop_last
+    batches = list(iter(dl))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["label"].shape == (2, 32, 32)
+    assert b["style_image"].shape == (2, 2, 32, 32, 1)
+    assert len(b["filename"]) == 2
+    # shuffling differs across epochs
+    order1 = [f for bt in batches for f in bt["filename"]]
+    order2 = [f for bt in iter(dl) for f in bt["filename"]]
+    assert sorted(order1) == sorted(order2)
+
+
+def test_inference_dataloader_clone(h5_paths):
+    data, _ = h5_paths
+    dl = create_inference_dataloader(opt_for(data))
+    assert dl.dataset.dataset_key == "validation"
+    assert dl.shuffle is False and dl.drop_last is False
+    item = dl.get_particular(2)
+    assert item["label"].shape == (1, 32, 32)
+
+
+def test_validation_indices(h5_paths):
+    data, _ = h5_paths
+    ds = OpenEDSDataset(opt_for(data), dataset_key="train")
+    assert ds.get_validation_indices() == [0, 3, 2, 5]
