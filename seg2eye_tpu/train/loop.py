@@ -1,0 +1,142 @@
+"""Training loop (parity port of the reference train.py entry).
+
+Structure mirrors reference train.py:46-116: epoch loop, G step every
+``D_steps_per_G`` iterations + D step every iteration (fused into one jitted
+program when D_steps_per_G == 1), periodic print/display/save/full-validation,
+crash-safe final save in ``finally``.
+"""
+from __future__ import annotations
+
+import traceback
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seg2eye_tpu.data.loader import create_dataloader
+from seg2eye_tpu.eval.tester import Tester
+from seg2eye_tpu.models.pix2pix import Pix2Pix
+from seg2eye_tpu.options import Options
+from seg2eye_tpu.train import state as state_lib
+from seg2eye_tpu.train.steps import StepFunctions
+from seg2eye_tpu.utils import checkpoint
+from seg2eye_tpu.utils.files import copy_src
+from seg2eye_tpu.utils.iter_counter import IterationCounter
+from seg2eye_tpu.utils.visualizer import Visualizer
+from seg2eye_tpu.parallel.sharding import shard_batch, make_mesh
+
+
+def device_batch(batch: Dict, mesh=None) -> Dict:
+    out = {k: batch[k] for k in ("label", "style_image", "target")
+           if k in batch}
+    if mesh is not None:
+        return shard_batch(out, mesh)
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
+    """Returns a summary dict (final losses, steps run)."""
+    copy_src(".", opt.expr_dir)
+
+    dataloader = create_dataloader(opt)
+    model = Pix2Pix(opt)
+    steps = StepFunctions(model)
+    mesh = make_mesh(opt)
+
+    state = state_lib.create_state(model, jax.random.PRNGKey(opt.seed))
+    iter_counter = IterationCounter(opt, len(dataloader) * opt.batchSize)
+    if opt.continue_train and checkpoint.has_checkpoint(opt, opt.which_epoch):
+        state = checkpoint.load_state(state, opt, opt.which_epoch)
+        print(f"Resumed networks from '{opt.which_epoch}' checkpoint")
+
+    visualizer = Visualizer(opt)
+    tester_train = Tester(opt, dataset_key="train", visualizer=visualizer)
+    tester_validation = Tester(opt, dataset_key="validation",
+                               visualizer=visualizer)
+
+    max_steps = max_steps or (opt.max_steps or None)
+    last_losses: Dict = {}
+    n_iters = 0
+    stop = False
+    try:
+        for epoch in iter_counter.training_epochs():
+            if iter_counter.current_epoch != epoch:
+                iter_counter.record_epoch_start(epoch)
+            state = state_lib.set_learning_rate(state, opt, epoch)
+
+            for i, batch in enumerate(dataloader,
+                                      start=iter_counter.epoch_iter):
+                iter_counter.record_one_iteration()
+                db = device_batch(batch, mesh)
+
+                if opt.D_steps_per_G == 1:
+                    state, losses, generated = steps.train_step(state, db)
+                else:
+                    if i % opt.D_steps_per_G == 0:
+                        state, g_losses, generated = steps.g_step(state, db)
+                        losses = dict(g_losses)
+                    else:
+                        losses = {}
+                    state, d_losses = steps.d_step(state, db)
+                    losses.update(d_losses)
+                last_losses = losses
+                n_iters += 1
+
+                if iter_counter.needs_printing():
+                    host_losses = {k: float(jnp.mean(v))
+                                   for k, v in losses.items()}
+                    visualizer.print_current_errors(
+                        epoch, iter_counter.total_steps_so_far, host_losses,
+                        iter_counter.time_per_iter)
+                    visualizer.plot_current_errors(
+                        host_losses, iter_counter.total_steps_so_far)
+
+                if iter_counter.needs_displaying():
+                    for tester in (tester_train, tester_validation):
+                        tester.run_partial_modes(
+                            model, state.variables,
+                            epoch=epoch,
+                            n_steps=iter_counter.total_steps_so_far,
+                            log=True, visualize_images=opt.tf_log,
+                            limit=min(opt.validation_limit, tester.N))
+
+                if iter_counter.needs_saving():
+                    print("saving the latest model (epoch %d, total_steps %d)"
+                          % (epoch, iter_counter.total_steps_so_far))
+                    checkpoint.save_state(state, opt, "latest")
+                    iter_counter.record_current_iter()
+
+                if iter_counter.needs_full_validation():
+                    for tester in (tester_train, tester_validation):
+                        tester.run(model, state.variables, mode="full",
+                                   epoch=epoch,
+                                   n_steps=iter_counter.total_steps_so_far,
+                                   log=True,
+                                   write_error_log=opt.write_error_log)
+
+                if max_steps and n_iters >= max_steps:
+                    stop = True
+                    break
+
+            iter_counter.record_epoch_end()
+            if epoch % opt.save_epoch_freq == 0 or \
+                    epoch == iter_counter.total_epochs:
+                print("saving the model at the end of epoch %d, iters %d"
+                      % (epoch, iter_counter.total_steps_so_far))
+                checkpoint.save_state(state, opt, "latest")
+                checkpoint.save_state(state, opt, epoch)
+            if stop:
+                break
+        print("Training was successfully finished.")
+    except (KeyboardInterrupt, SystemExit):
+        print("KeyboardInterrupt. Shutting down.")
+    except Exception:
+        print(traceback.format_exc())
+        raise
+    finally:
+        print("saving the model before quitting")
+        checkpoint.save_state(state, opt, "latest")
+        iter_counter.record_current_iter()
+    return {"losses": {k: float(jnp.mean(v)) for k, v in last_losses.items()},
+            "steps": n_iters, "state": state}

@@ -88,6 +88,8 @@ def epoch_lr(opt: Options, epoch: int) -> float:
     # reference decrements at the END of each epoch e>niter, so epoch niter+1
     # still trains at full lr and epoch e trains at lr - (e-niter-1)*lr/decay
     steps = max(0, epoch - opt.niter - 1)
+    if steps == 0 or opt.niter_decay == 0:
+        return opt.lr
     return opt.lr - steps * (opt.lr / opt.niter_decay)
 
 

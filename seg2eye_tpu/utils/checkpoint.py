@@ -1,0 +1,63 @@
+"""Checkpointing: per-network files with 'latest' alias + optimizer state.
+
+Parity notes (reference: util/util.py:195-221, trainers save paths):
+  * Files are named ``{epoch}_net_{G,D,E}.ckpt`` in checkpoints_dir/name,
+    with ``latest`` written continuously (train.py:85,102,113).
+  * The reference does NOT save optimizer state (SURVEY §5.4); we do, in
+    ``{epoch}_optim.ckpt`` — resume restores Adam moments too (improvement,
+    flagged in docs).
+  * Loading restores by pytree structure (flax.serialization), the analogue
+    of state_dict restore with the DataParallel prefix repair made moot by
+    functional parameters.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import flax.serialization
+import jax
+
+from seg2eye_tpu.train.state import TrainState
+
+
+def _path(opt, epoch, name: str) -> str:
+    return os.path.join(opt.expr_dir, f"{epoch}_{name}.ckpt")
+
+
+def save_state(state: TrainState, opt, epoch) -> None:
+    os.makedirs(opt.expr_dir, exist_ok=True)
+    state = jax.device_get(state)
+    for net in ("G", "D", "E"):
+        if net in state.variables:
+            with open(_path(opt, epoch, f"net_{net}"), "wb") as f:
+                f.write(flax.serialization.to_bytes(state.variables[net]))
+    aux = {"step": state.step, "opt_g": state.opt_g, "opt_d": state.opt_d}
+    if state.opt_g is not None:
+        with open(_path(opt, epoch, "optim"), "wb") as f:
+            f.write(flax.serialization.to_bytes(aux))
+
+
+def load_state(state: TrainState, opt, epoch,
+               load_optim: bool = True) -> TrainState:
+    """Restore networks (and optimizer state when present) into ``state``."""
+    variables = dict(state.variables)
+    for net in list(variables.keys()):
+        p = _path(opt, epoch, f"net_{net}")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                variables[net] = flax.serialization.from_bytes(
+                    variables[net], f.read())
+    state = state.replace(variables=variables)
+    p = _path(opt, epoch, "optim")
+    if load_optim and state.opt_g is not None and os.path.exists(p):
+        aux = {"step": state.step, "opt_g": state.opt_g, "opt_d": state.opt_d}
+        with open(p, "rb") as f:
+            aux = flax.serialization.from_bytes(aux, f.read())
+        state = state.replace(step=aux["step"], opt_g=aux["opt_g"],
+                              opt_d=aux["opt_d"])
+    return state
+
+
+def has_checkpoint(opt, epoch) -> bool:
+    return os.path.exists(_path(opt, epoch, "net_G"))

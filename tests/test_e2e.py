@@ -1,0 +1,98 @@
+"""End-to-end CLI-level tests: train loop, checkpoint layout, eval harness
+(SURVEY §4e — file layouts checkpoints/<name>/{opt.txt,opt.pkl,iter.txt,
+loss_log.txt,*_net_*.ckpt} and results/.../*.npy + pred_npy_list.txt)."""
+import os
+
+import numpy as np
+import pytest
+
+from seg2eye_tpu.data import schema
+from seg2eye_tpu.eval.tester import Tester
+from seg2eye_tpu.models.pix2pix import Pix2Pix
+from seg2eye_tpu.options import Options
+from seg2eye_tpu.train import state as state_lib
+from seg2eye_tpu.train.loop import train
+from seg2eye_tpu.utils import checkpoint
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    data = schema.write_synthetic_h5(str(d / "data.h5"), h=64, w=40)
+    opt = Options(
+        dataroot=data, name="exp", checkpoints_dir=str(d / "ckpt"),
+        ngf=4, ndf=4, crop_size=32, aspect_ratio=1.0, w_dim=8, input_ns=2,
+        batchSize=2, compute_dtype="float32", isTrain=True, seed=0,
+        print_freq=2, save_latest_freq=10**9, display_freq=10**9,
+        full_val_freq=10**9, niter=1, niter_decay=0,
+    ).finalize()
+    return d, opt
+
+
+def test_train_loop_end_to_end(env):
+    d, opt = env
+    os.chdir(str(d))          # copy_src snapshots cwd
+    opt.save()
+    result = train(opt, max_steps=3)
+    assert result["steps"] == 3
+    assert all(np.isfinite(v) for v in result["losses"].values())
+    # reference checkpoint-dir layout
+    for fn in ("opt.txt", "opt.pkl", "iter.txt", "loss_log.txt", "src.zip",
+               "latest_net_G.ckpt", "latest_net_D.ckpt", "latest_net_E.ckpt",
+               "latest_optim.ckpt"):
+        assert os.path.exists(os.path.join(opt.expr_dir, fn)), fn
+
+
+def test_resume_from_checkpoint(env):
+    d, opt = env
+    opt2 = opt.replace(continue_train=True)
+    result = train(opt2, max_steps=1)
+    assert result["steps"] == 1
+
+
+def test_tester_full_run_and_error_log(env):
+    d, opt = env
+    test_opt = opt.replace(isTrain=False, write_error_log=True)
+    model = Pix2Pix(test_opt)
+    state = state_lib.create_state(model, __import__("jax").random.PRNGKey(0))
+    state = checkpoint.load_state(state, test_opt, "latest")
+    tester = Tester(test_opt, dataset_key="validation")
+    errors = tester.run(model, state.variables, mode="full",
+                        write_error_log=True)
+    key = "mse/validation/full/relative"
+    assert key in errors and np.isfinite(errors[key])
+    # error-log H5 with the reference schema
+    import h5py
+    log_path = os.path.join(tester.results_dir, "error_log_validation.h5")
+    with h5py.File(log_path, "r") as log:
+        assert set(log.keys()) == {"error", "user", "filename",
+                                   "visualisation"}
+        assert log["visualisation"].shape[1:] == (1, 380, 1000)
+        assert log["error"][:tester.N].sum() > 0
+
+
+def test_tester_modes(env):
+    d, opt = env
+    test_opt = opt.replace(isTrain=False)
+    model = Pix2Pix(test_opt)
+    state = state_lib.create_state(model, __import__("jax").random.PRNGKey(0))
+    tester = Tester(test_opt, dataset_key="validation")
+    tester.run(model, state.variables, mode="rand", limit=2)
+    tester.run(model, state.variables, mode="fix", limit=2)
+    with pytest.raises(ValueError):
+        tester.run(model, state.variables, mode="bogus")
+
+
+def test_npy_dump_manifest(env):
+    d, opt = env
+    test_opt = opt.replace(isTrain=False, serial_batches=True, no_flip=True)
+    model = Pix2Pix(test_opt)
+    state = state_lib.create_state(model, __import__("jax").random.PRNGKey(0))
+    tester = Tester(test_opt, dataset_key="test")
+    manifest = tester.run_test(model, state.variables, limit=2)
+    assert os.path.exists(manifest)
+    lines = [ln for ln in open(manifest).read().splitlines() if ln]
+    assert len(lines) == 2
+    arr = np.load(lines[0])
+    assert arr.dtype == np.uint8
+    assert arr.shape == (640, 400)       # OpenEDS native submission format
