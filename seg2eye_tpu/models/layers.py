@@ -132,12 +132,14 @@ class SpectralConv(nn.Module):
             kernel = kernel / sigma
 
         dtype = self.dtype or x.dtype
+        # NOTE: no preferred_element_type here — with bf16 operands the MXU
+        # already accumulates in f32 internally, and mixing a f32 preferred
+        # type with bf16 operands breaks the conv VJP dtype matching.
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
             window_strides=self.strides,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
