@@ -1,0 +1,34 @@
+#!/usr/bin/env python3
+"""Train the 4-class eye SegNet (reference: refinenet/train_segnet.py)."""
+import logging
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from seg2eye_tpu.utils.platform import configure_from_env  # noqa: E402
+
+configure_from_env()
+
+from seg2eye_tpu.data.loader import DataLoader             # noqa: E402
+from seg2eye_tpu.refinenet.config import RefineNetConfig   # noqa: E402
+from seg2eye_tpu.refinenet.segnet_dataset import SegNetDataset  # noqa: E402
+from seg2eye_tpu.refinenet.model import SegNetModel        # noqa: E402
+from seg2eye_tpu.refinenet.training import main_loop       # noqa: E402
+
+logging.basicConfig(level=logging.INFO)
+
+if __name__ == "__main__":
+    cfg = RefineNetConfig.from_args()
+    train_loader = DataLoader(SegNetDataset(cfg, "train"),
+                              batch_size=cfg.batch_size, shuffle=True,
+                              drop_last=True, seed=cfg.seed,
+                              prefetch=cfg.prefetch)
+    test_data = {
+        "val": DataLoader(SegNetDataset(cfg, "validation"),
+                          batch_size=cfg.test_batch_size, shuffle=False,
+                          drop_last=False, prefetch=cfg.prefetch),
+    }
+    model = SegNetModel(cfg)
+    result = main_loop(model, cfg, train_loader, test_data,
+                       loss_key="ce_loss", model_name="MyDeepLab")
+    print("output_dir:", result["output_dir"])

@@ -20,14 +20,11 @@ import numpy as np
 
 from seg2eye_tpu.data.openeds import OpenEDSDataset
 
-ARRAY_KEYS = ("label", "style_image", "target", "target_original")
-
-
 def collate(items: List[Dict]) -> Dict:
     batch: Dict = {}
     for k in items[0].keys():
         vals = [it[k] for it in items]
-        if k in ARRAY_KEYS:
+        if isinstance(vals[0], np.ndarray):
             batch[k] = np.stack(vals)
         else:
             batch[k] = vals

@@ -71,17 +71,24 @@ def write_synthetic_h5(path: str, users: Sequence[str] = ("U001", "U002"),
                     return np.array([f"{prefix}{user}_{i:06d}.png".encode()
                                      for i in range(n)], dtype="S13")
 
+                # the real builder writes <name>_filenames for EVERY dataset
+                # (prepare_openeds.py:54-73); labels share the image ids
                 if split == "test":
                     g.create_dataset("images_ss", data=imgs(n_gen))
+                    g.create_dataset("images_ss_filenames",
+                                     data=names(n_gen, "i"))
                     g.create_dataset("labels_gen", data=masks(n_ss))
                     g.create_dataset("labels_gen_filenames",
                                      data=names(n_ss, "t"))
                     g.create_dataset("images_seq", data=imgs(n_seq))
+                    g.create_dataset("images_seq_filenames",
+                                     data=names(n_seq, "s"))
                 else:
+                    nm = names(n_ss, "i")
                     g.create_dataset("images_ss", data=imgs(n_ss))
                     g.create_dataset("labels_ss", data=masks(n_ss))
-                    g.create_dataset("images_ss_filenames",
-                                     data=names(n_ss, "i"))
+                    g.create_dataset("images_ss_filenames", data=nm)
+                    g.create_dataset("labels_ss_filenames", data=nm)
                     g.create_dataset("images_gen", data=imgs(n_gen))
                     g.create_dataset("images_gen_filenames",
                                      data=names(n_gen, "g"))

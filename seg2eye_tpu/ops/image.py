@@ -59,6 +59,42 @@ def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return jax.image.resize(x, (b, out_h, out_w, c), method="linear")
 
 
+def resize_bilinear_ac(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with align_corners=True (NHWC), matching torch
+    F.interpolate(..., mode='bilinear', align_corners=True) as used throughout
+    DeepLabV3+ (reference: refinenet/deeplab/modeling/deeplab.py:31,
+    aspp.py:76, decoder.py:40).
+
+    Implemented as two 1-D linear gathers with sample positions
+    i*(in-1)/(out-1) — cheap, static, fuses under XLA.
+    """
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+
+    def axis_weights(out_n, in_n):
+        if out_n == 1 or in_n == 1:
+            lo = np.zeros(out_n, np.int32)
+            return lo, lo, np.ones(out_n, np.float32) * 0.0
+        pos = np.arange(out_n) * (in_n - 1) / (out_n - 1)
+        lo = np.floor(pos).astype(np.int32)
+        lo = np.minimum(lo, in_n - 2)
+        frac = (pos - lo).astype(np.float32)
+        return lo, lo + 1, frac
+
+    hlo, hhi, hf = axis_weights(out_h, h)
+    wlo, whi, wf = axis_weights(out_w, w)
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    top = xf[:, hlo]
+    bot = xf[:, hhi]
+    xh = top + (bot - top) * hf[None, :, None, None]
+    left = xh[:, :, wlo]
+    right = xh[:, :, whi]
+    out = left + (right - left) * wf[None, None, :, None]
+    return out.astype(dt)
+
+
 def avg_pool_3x3s2(x: jax.Array) -> jax.Array:
     """3x3 stride-2 pad-1 average pool with count_include_pad=False.
 

@@ -1,0 +1,118 @@
+"""RefineNet (residual refiner) and SegNet (mask predictor) task models.
+
+Parity notes:
+  * RefineNet (reference: refinenet/model.py:20-66): DeepLab(num_classes=1)
+    over a 3-channel stack (colorized target mask | NN reference image | NN
+    reference mask); prediction = clamp(residual + reference, -1, 1);
+    l1_loss, per_image_score = sqrt(sum((255/2 (pred-true))^2)) / (H*W),
+    score = 1471 * mean(per_image_score), eds_loss = mean(per_image_score).
+  * SegNet 'MyDeepLab' (reference: refinenet/train_segnet.py:86-108):
+    DeepLab(num_classes=4) over a grayscale image repeated to 3 channels,
+    cross-entropy loss, argmax prediction.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from seg2eye_tpu.models.deeplab import DeepLab
+from seg2eye_tpu.refinenet.config import RefineNetConfig
+
+MUTABLE = ["batch_stats"]
+
+_RESNET_LAYERS = {101: (3, 4, 23, 3), 50: (3, 4, 6, 3), 26: (2, 2, 2, 2),
+                  14: (1, 1, 1, 1)}
+
+
+def _resnet_layers(depth: int):
+    return _RESNET_LAYERS[depth]
+
+
+def _apply(net, variables, x, train: bool, rng: Optional[jax.Array]):
+    rngs = {"dropout": rng} if rng is not None else None
+    if train:
+        out, mut = net.apply(variables, x, train=True,
+                             deterministic=rng is None, rngs=rngs,
+                             mutable=MUTABLE)
+        return out, {**variables, **mut}
+    out = net.apply(variables, x, train=False, deterministic=True)
+    return out, variables
+
+
+class RefineNetModel:
+    def __init__(self, cfg: RefineNetConfig):
+        self.cfg = cfg
+        self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
+        self.net = DeepLab(backbone=cfg.backbone,
+                           output_stride=cfg.output_stride, num_classes=1,
+                           resnet_layers=_resnet_layers(cfg.resnet_depth))
+
+    def init(self, rng: jax.Array):
+        x = jnp.zeros((1, self.cfg.input_height, self.cfg.input_width, 3),
+                      jnp.float32)
+        return self.net.init(rng, x)
+
+    def forward(self, variables, batch: Dict, train: bool = False,
+                rng: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
+        x = batch["input"].astype(self.dtype)        # (B,H,W,3) in [-1,1]
+        residual, variables = _apply(self.net, variables, x, train, rng)
+        residual = residual.astype(jnp.float32)
+        reference = x[..., 1:2].astype(jnp.float32)  # NN reference image
+        y_pred = jnp.clip(residual + reference, -1.0, 1.0)
+        out = {"input": x, "residual": residual, "prediction": y_pred}
+        y_true = batch.get("target")
+        if y_true is not None:
+            y_true = y_true.astype(jnp.float32)
+            out["groundtruth"] = y_true
+            out["l1_loss"] = jnp.mean(jnp.abs(y_pred - y_true))
+            h, w = y_true.shape[1], y_true.shape[2]
+            sq = (255.0 / 2.0 * (y_pred - y_true)) ** 2
+            per_image = jnp.sqrt(
+                jnp.sum(sq.reshape(sq.shape[0], -1), axis=-1)) / float(h * w)
+            out["per_image_score"] = per_image
+            out["score"] = 1471.0 * jnp.sum(per_image) / y_true.shape[0]
+            out["eds_loss"] = jnp.mean(per_image)
+        return out, variables
+
+
+class SegNetModel:
+    """4-class eye segmentation ('MyDeepLab')."""
+
+    def __init__(self, cfg: RefineNetConfig, num_classes: int = 4):
+        self.cfg = cfg
+        self.num_classes = num_classes
+        self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
+        self.net = DeepLab(backbone=cfg.backbone,
+                           output_stride=cfg.output_stride,
+                           num_classes=num_classes,
+                           resnet_layers=_resnet_layers(cfg.resnet_depth))
+
+    def init(self, rng: jax.Array):
+        x = jnp.zeros((1, self.cfg.input_height, self.cfg.input_width, 3),
+                      jnp.float32)
+        return self.net.init(rng, x)
+
+    def forward(self, variables, batch: Dict, train: bool = False,
+                rng: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
+        img = batch["input"].astype(self.dtype)      # (B,H,W,1) in [-1,1]
+        x = jnp.repeat(img, 3, axis=-1)              # 1ch -> 3ch (segnet:27-40)
+        logits, variables = _apply(self.net, variables, x, train, rng)
+        logits = logits.astype(jnp.float32)
+        out = {"input": x, "logits": logits,
+               "prediction": jnp.argmax(logits, axis=-1)}
+        labels = batch.get("target")
+        if labels is not None:
+            labels = labels.astype(jnp.int32)
+            if labels.ndim == 4:
+                labels = labels[..., 0]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, labels[..., None],
+                                      axis=-1)[..., 0]
+            out["ce_loss"] = jnp.mean(ce)
+            out["accuracy"] = jnp.mean(
+                (out["prediction"] == labels).astype(jnp.float32))
+        return out, variables

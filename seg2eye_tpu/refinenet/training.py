@@ -1,0 +1,235 @@
+"""RefineNet/SegNet training framework.
+
+Parity notes (reference: refinenet/core/training.py):
+  * SGD(momentum=0.99, nesterov) with lr = batch_size * base_lr and L2 weight
+    decay (train_refinenet.py:236-243, config_default.py).
+  * LR schedule: linear warmup from base_lr to target over num_warmup_epochs,
+    then 'exponential' step decay (factor^interval) or 'cyclic'
+    (training.py:462-496) — implemented as a pure step->lr function fed to
+    the optimizer as a runtime hyperparameter (no recompiles).
+  * main_loop: step-based epochs, grad clip, log every log_every_n_steps,
+    test_model_on_all + checkpoint every test_every_n_steps, final full test
+    (training.py:503-631, 430-459).  The reference's inversion-of-control
+    generator is replaced by a ``step_callback`` hook: the whole
+    forward+backward+update is ONE jitted XLA program.
+  * test_model_on_all: dataset-size-weighted mean of every scalar output
+    (training.py:247-300).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seg2eye_tpu.data.loader import DataLoader
+from seg2eye_tpu.refinenet.checkpoint_manager import CheckpointManager
+from seg2eye_tpu.refinenet.config import RefineNetConfig
+from seg2eye_tpu.refinenet.loggers import GoogleSheetLogger, Tensorboard
+
+logger = logging.getLogger(__name__)
+
+
+def learning_rate_schedule(cfg: RefineNetConfig, steps_per_epoch: int,
+                           step: int) -> float:
+    """training.py:462-496, as a pure function of the step."""
+    target = cfg.learning_rate
+    base = target / cfg.batch_size
+    num_warmup = int(steps_per_epoch * cfg.num_warmup_epochs)
+    if step < num_warmup:
+        return base + (target - base) * step / float(num_warmup)
+    epoch = (step - num_warmup) / float(steps_per_epoch)
+    interval = int(epoch / cfg.lr_decay_epoch_interval)
+    if cfg.lr_decay_strategy == "exponential":
+        return target * (cfg.lr_decay_factor ** interval)
+    if cfg.lr_decay_strategy == "cyclic":
+        peak_a = target * (cfg.lr_decay_factor ** interval)
+        peak_b = peak_a * cfg.lr_decay_factor
+        half = 0.5 * cfg.lr_decay_epoch_interval
+        start = interval * cfg.lr_decay_epoch_interval
+        mid = start + half
+        if epoch < mid:
+            slope = -(peak_a - base) / half
+        else:
+            slope = (peak_b - base) / half
+        return slope * (epoch - mid) + base
+    raise ValueError(cfg.lr_decay_strategy)
+
+
+def make_optimizer(cfg: RefineNetConfig) -> optax.GradientTransformation:
+    chain = []
+    if cfg.gradient_norm_clip > 0.0:
+        chain.append(optax.clip_by_global_norm(cfg.gradient_norm_clip))
+    if cfg.weight_decay:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(optax.trace(decay=0.99, nesterov=True))
+
+    def build(learning_rate):
+        return optax.chain(*chain, optax.scale(-learning_rate))
+
+    return optax.inject_hyperparams(build)(learning_rate=cfg.learning_rate)
+
+
+class Trainer:
+    """Owns the jitted train/eval steps for a task model (RefineNet/SegNet)."""
+
+    def __init__(self, model, cfg: RefineNetConfig, loss_key: str):
+        self.model = model
+        self.cfg = cfg
+        self.loss_key = loss_key
+        self.tx = make_optimizer(cfg)
+        self.train_step = jax.jit(self._train_step)
+        self.eval_step = jax.jit(self._eval_step)
+
+    def init_state(self, rng: jax.Array) -> Dict:
+        variables = self.model.init(rng)
+        return {"variables": variables,
+                "opt": self.tx.init(variables["params"]),
+                "step": jnp.zeros((), jnp.int32)}
+
+    def _train_step(self, state: Dict, batch: Dict, lr: jax.Array,
+                    rng: jax.Array):
+        state["opt"].hyperparams["learning_rate"] = lr
+
+        def loss_fn(params):
+            variables = {**state["variables"], "params": params}
+            out, newv = self.model.forward(variables, batch, train=True,
+                                           rng=rng)
+            return out[self.loss_key], (out, newv)
+
+        params = state["variables"]["params"]
+        (loss, (out, newv)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = self.tx.update(grads, state["opt"], params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+        new_state = {"variables": {**newv, "params": new_params},
+                     "opt": new_opt, "step": state["step"] + 1}
+        scalars = {k: v for k, v in out.items()
+                   if hasattr(v, "ndim") and v.ndim == 0}
+        return new_state, scalars, out
+
+    def _eval_step(self, variables: Dict, batch: Dict):
+        out, _ = self.model.forward(variables, batch, train=False)
+        return out
+
+
+def device_batch(batch: Dict) -> Dict:
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)}
+
+
+def test_model_on_all(trainer: Trainer, test_data: Dict[str, DataLoader],
+                      step: int, tensorboard: Optional[Tensorboard] = None,
+                      log_key_prefix: str = "test") -> Dict[str, Dict]:
+    final: Dict[str, Dict] = {}
+    for tag, loader in test_data.items():
+        n = len(loader.dataset)
+        acc: Dict[str, float] = {}
+        for batch in loader:
+            bs = len(batch["input"])
+            out = trainer.eval_step(trainer.current_variables,
+                                    device_batch(batch))
+            for k, v in out.items():
+                if hasattr(v, "ndim") and v.ndim == 0:
+                    acc[k] = acc.get(k, 0.0) + float(v) * (bs / n)
+        final[tag] = acc
+        if tensorboard is not None:
+            for k, v in acc.items():
+                tensorboard.add_scalar(f"{log_key_prefix}/{tag}/{k}", v)
+    return final
+
+
+def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
+              test_data: Dict[str, DataLoader], loss_key: str,
+              step_callback: Optional[Callable] = None,
+              model_name: Optional[str] = None) -> Dict:
+    """Returns {'state', 'output_dir', 'steps'}."""
+    model_name = model_name or type(model).__name__
+    if cfg.resume_from:
+        identifier = cfg.resume_from.rstrip("/").split("/")[-1]
+        output_dir = cfg.resume_from
+    else:
+        identifier = cfg.identifier(model_name)
+        output_dir = os.path.join(cfg.output_dir_base, identifier)
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        f.write(cfg.full_json())
+    tensorboard = Tensorboard(output_dir)
+    gsheet = GoogleSheetLogger(identifier, cfg.full_json(), output_dir)
+    ckpt_mgr = CheckpointManager(output_dir, cfg.checkpoints_keep_n)
+
+    trainer = Trainer(model, cfg, loss_key)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    start_step = 0
+    if cfg.resume_from:
+        step0, state = ckpt_mgr.load_last_checkpoint(state)
+        if step0 is not None:
+            start_step = step0
+            logger.info("Resumed from step %d", start_step)
+
+    steps_per_epoch = max(1, len(train_loader.dataset) // cfg.batch_size)
+    num_steps = int(cfg.num_epochs * steps_per_epoch)
+    if cfg.max_steps:
+        num_steps = min(num_steps, start_step + cfg.max_steps)
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    data_iter = iter(train_loader)
+    t_last = time.time()
+    step = start_step
+    for step in range(start_step, num_steps):
+        try:
+            batch = next(data_iter)
+        except StopIteration:
+            data_iter = iter(train_loader)
+            batch = next(data_iter)
+        lr = learning_rate_schedule(cfg, steps_per_epoch, step)
+        rng, sub = jax.random.split(rng)
+        state, scalars, out = trainer.train_step(
+            state, device_batch(batch), jnp.asarray(lr, jnp.float32), sub)
+
+        if step_callback is not None:
+            step_callback(step, scalars, out, batch)
+
+        if step % cfg.log_every_n_steps == cfg.log_every_n_steps - 1:
+            host = {k: float(v) for k, v in scalars.items()}
+            dt = (time.time() - t_last) / cfg.log_every_n_steps
+            t_last = time.time()
+            epoch = step * cfg.batch_size / len(train_loader.dataset)
+            logger.info("Step %d, Epoch %.2f> %s (%.3fs/step, lr %.2g)",
+                        step + 1, epoch,
+                        ", ".join(f"{k}: {v:.4g}"
+                                  for k, v in sorted(host.items())),
+                        dt, lr)
+            tensorboard.update_current_step(step + 1)
+            for k, v in host.items():
+                tensorboard.add_scalar(f"train/{k}", v)
+            tensorboard.add_scalar("lr/optim_0", lr)
+
+        if step % cfg.test_every_n_steps == cfg.test_every_n_steps - 1:
+            trainer.current_variables = state["variables"]
+            results = test_model_on_all(trainer, test_data, step + 1,
+                                        tensorboard)
+            row = {"Step": step + 1}
+            for tag, d in results.items():
+                for k, v in d.items():
+                    row[f"{tag}/{k}"] = v
+            gsheet.update_or_append_row(row)
+            ckpt_mgr.save_at_step(step + 1, state)
+
+    ckpt_mgr.save_at_step(step + 1, state)
+    trainer.current_variables = state["variables"]
+    final = test_model_on_all(trainer, test_data, step + 1, tensorboard,
+                              log_key_prefix="final_test")
+    gsheet.update_or_append_row(
+        {"Step": step + 1,
+         **{f"final/{t}/{k}": v for t, d in final.items()
+            for k, v in d.items()}})
+    tensorboard.close()
+    return {"state": state, "output_dir": output_dir, "steps": step + 1,
+            "final": final, "trainer": trainer}

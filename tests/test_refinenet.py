@@ -1,0 +1,174 @@
+"""RefineNet system tests: DeepLab parity, dataset joins, training loop."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seg2eye_tpu.data import schema
+from seg2eye_tpu.data.loader import DataLoader
+from seg2eye_tpu.models.deeplab import DeepLab
+from seg2eye_tpu.models.layers import param_count
+from seg2eye_tpu.refinenet.config import RefineNetConfig
+from seg2eye_tpu.refinenet.dataset import (RefineNetDataset, colorize_segmap,
+                                           write_synthetic_refinenet_fixtures)
+from seg2eye_tpu.refinenet.model import RefineNetModel, SegNetModel
+from seg2eye_tpu.refinenet.segnet_dataset import SegNetDataset
+from seg2eye_tpu.refinenet.training import (Trainer, learning_rate_schedule,
+                                            main_loop)
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refinenet")
+    data = schema.write_synthetic_h5(str(d / "data.h5"), h=64, w=40)
+    paths = write_synthetic_refinenet_fixtures(str(d), data)
+    cfg = RefineNetConfig(
+        dataroot=data, batch_size=2, test_batch_size=2, num_epochs=1,
+        num_warmup_epochs=0, test_every_n_steps=10**6, log_every_n_steps=2,
+        compute_dtype="float32", resnet_depth=14, input_width=40,
+        input_height=64, output_dir_base=str(d / "outputs"), prefetch=0,
+        **paths)
+    return d, cfg
+
+
+def test_deeplab_param_parity():
+    """Reference DeepLab(resnet101, os16) has 59,339,169 params at
+    num_classes=1 and 59,339,940 at 4 (measured from the vendored torch
+    code). Our kernels share shapes exactly."""
+    for nc, expect in ((1, 59_339_169), (4, 59_339_940)):
+        net = DeepLab(backbone="resnet", output_stride=16, num_classes=nc)
+        v = jax.eval_shape(
+            lambda k: net.init(k, jnp.zeros((1, 64, 64, 3))),
+            jax.random.PRNGKey(0))
+        got = param_count(v["params"])
+        assert got == expect, (nc, got, expect)
+
+
+def test_deeplab_tiny_forward():
+    net = DeepLab(backbone="resnet", output_stride=16, num_classes=4,
+                  resnet_layers=(1, 1, 1, 1))
+    x = jnp.zeros((2, 64, 64, 3))
+    v = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(v, x)
+    assert out.shape == (2, 64, 64, 4)
+
+
+def test_colorize_segmap():
+    seg = np.array([[0, 1], [2, 3]], np.uint8)
+    out = colorize_segmap(seg)
+    np.testing.assert_array_equal(out, [[125, 103], [76, 34]])
+
+
+def test_refinenet_dataset_joins(env):
+    d, cfg = env
+    ds = RefineNetDataset(cfg, "train")
+    assert len(ds) == 6
+    item = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert item["input"].shape == (64, 40, 3)
+    assert item["target"].shape == (64, 40, 1)
+    assert -1 <= item["input"].min() and item["input"].max() <= 1
+    # pick1 deterministic: top-1 neighbor
+    ds1 = RefineNetDataset(cfg, "validation", pick1=True)
+    a = ds1.__getitem__(0, rng=np.random.default_rng(1))
+    b = ds1.__getitem__(0, rng=np.random.default_rng(2))
+    np.testing.assert_array_equal(a["input"], b["input"])
+    # test split requires pick1
+    with pytest.raises(AssertionError):
+        RefineNetDataset(cfg, "test", pick1=False)
+
+
+def test_refinenet_drops_u111(tmp_path):
+    data = schema.write_synthetic_h5(str(tmp_path / "d.h5"),
+                                     users=("U001", "U111"), h=32, w=32)
+    paths = write_synthetic_refinenet_fixtures(str(tmp_path), data)
+    cfg = RefineNetConfig(dataroot=data, input_width=32, input_height=32,
+                          **paths)
+    ds = RefineNetDataset(cfg, "train")
+    assert all(pid != "U111" for pid, _ in ds.idx_to_kv)
+    # but U111 stays in validation
+    ds_val = RefineNetDataset(cfg, "validation")
+    assert any(pid == "U111" for pid, _ in ds_val.idx_to_kv)
+
+
+def test_refinenet_model_outputs(env):
+    d, cfg = env
+    model = RefineNetModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    batch = {
+        "input": jnp.zeros((2, 64, 40, 3)),
+        "target": jnp.zeros((2, 64, 40, 1)),
+    }
+    out, _ = jax.jit(lambda v, b: model.forward(v, b))(variables, batch)
+    assert out["prediction"].shape == (2, 64, 40, 1)
+    assert np.abs(np.asarray(out["prediction"])).max() <= 1.0
+    # per-image score formula: inputs all zero, residual r ->
+    # per_image = sqrt(sum((127.5 * clip(r))^2)) / (H*W)
+    assert out["per_image_score"].shape == (2,)
+    np.testing.assert_allclose(float(out["eds_loss"]),
+                               float(np.mean(np.asarray(out["per_image_score"]))),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(out["score"]),
+                               1471 * float(np.mean(np.asarray(out["per_image_score"]))),
+                               rtol=1e-5)
+
+
+def test_segnet_model_ce(env):
+    d, cfg = env
+    model = SegNetModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    batch = {
+        "input": jnp.zeros((2, 64, 40, 1)),
+        "target": jnp.zeros((2, 64, 40), jnp.int32),
+    }
+    out, _ = jax.jit(lambda v, b: model.forward(v, b))(variables, batch)
+    assert out["prediction"].shape == (2, 64, 40)
+    # CE at uniform logits ~ log(4)
+    assert abs(float(out["ce_loss"]) - np.log(4)) < 0.5
+
+
+def test_lr_schedule():
+    cfg = RefineNetConfig(batch_size=8, base_learning_rate=1e-3,
+                          num_warmup_epochs=2, lr_decay_factor=0.5,
+                          lr_decay_epoch_interval=5)
+    spe = 10
+    target = 8e-3
+    base = 1e-3
+    assert learning_rate_schedule(cfg, spe, 0) == pytest.approx(base)
+    assert learning_rate_schedule(cfg, spe, 10) == pytest.approx(
+        (base + target) / 2)
+    assert learning_rate_schedule(cfg, spe, 20) == pytest.approx(target)
+    # after warmup: decay 0.5 every 5 epochs
+    assert learning_rate_schedule(cfg, spe, 20 + 50) == pytest.approx(
+        target * 0.5)
+    cyc = cfg.replace(lr_decay_strategy="cyclic")
+    v = learning_rate_schedule(cyc, spe, 25)
+    assert base <= v <= target
+
+
+def test_main_loop_end_to_end(env):
+    d, cfg = env
+    cfg = cfg.replace(max_steps=2, test_every_n_steps=10**6)
+    train_loader = DataLoader(RefineNetDataset(cfg, "train"),
+                              batch_size=2, shuffle=True, drop_last=True,
+                              prefetch=0)
+    test_data = {"val/pick1": DataLoader(
+        RefineNetDataset(cfg, "validation", pick1=True), batch_size=2,
+        shuffle=False, drop_last=False, prefetch=0)}
+    model = RefineNetModel(cfg)
+    result = main_loop(model, cfg, train_loader, test_data,
+                       loss_key="eds_loss", model_name="RefineNet")
+    assert result["steps"] == 2
+    assert "val/pick1" in result["final"]
+    assert np.isfinite(result["final"]["val/pick1"]["eds_loss"])
+    out_dir = result["output_dir"]
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+    assert os.path.exists(os.path.join(out_dir, "gsheet_rows.jsonl"))
+    ckpts = os.listdir(os.path.join(out_dir, "checkpoints"))
+    assert any(c.endswith(".ckpt") for c in ckpts)
+    # resume path
+    cfg2 = cfg.replace(resume_from=out_dir, max_steps=1)
+    result2 = main_loop(model, cfg2, train_loader, test_data,
+                        loss_key="eds_loss", model_name="RefineNet")
+    assert result2["steps"] == 3
