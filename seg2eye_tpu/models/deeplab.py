@@ -240,11 +240,15 @@ class DeepLab(nn.Module):
         elif self.backbone == "mobilenet":
             feat, low = MobileNetBackbone(output_stride=os_,
                                           name="backbone")(x, train)
+        elif self.backbone == "xception":
+            from seg2eye_tpu.models.backbones_extra import XceptionBackbone
+            feat, low = XceptionBackbone(output_stride=os_,
+                                         name="backbone")(x, train)
+        elif self.backbone == "drn":
+            from seg2eye_tpu.models.backbones_extra import DRNBackbone
+            feat, low = DRNBackbone(name="backbone")(x, train)
         else:
-            raise NotImplementedError(
-                f"backbone '{self.backbone}' not implemented yet "
-                "(reference vendors xception/drn too; resnet is the only one "
-                "used by RefineNet — train_refinenet.py:227)")
+            raise NotImplementedError(f"backbone '{self.backbone}'")
         out = ASPP(output_stride=os_, name="aspp")(feat, train, deterministic)
         out = Decoder(self.num_classes, name="decoder")(
             out, low, train, deterministic)

@@ -44,6 +44,7 @@ class SpadeStyleGenerator(nn.Module):
     num_upsampling_layers: str = "normal"   # normal | more | most
     norm_g: str = "spectralspadebatch3x3"
     w_dim: int = 16
+    use_pallas: bool = False
 
     def latent_size(self):
         n_up = {"normal": 5, "more": 6, "most": 7}[self.num_upsampling_layers]
@@ -62,6 +63,7 @@ class SpadeStyleGenerator(nn.Module):
 
         def block(fin, fout, name):
             return SpadeStyleResnetBlock(fin, fout, spectral, param_free, ks,
+                                         use_pallas=self.use_pallas,
                                          name=name)
 
         def run(blk, x, s):

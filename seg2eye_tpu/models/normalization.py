@@ -79,17 +79,72 @@ class ApplyStyle(nn.Module):
 
 
 class SpadeStyleBlock(nn.Module):
-    """(SPADE + AdaIN)/2 combined conditional norm."""
+    """(SPADE + AdaIN)/2 combined conditional norm.
+
+    Owns its parameters directly so the same weights drive either the fused
+    Pallas kernel (ops/pallas/spade_style.py) or the unfused XLA math.
+    Batch-norm running statistics follow torch semantics exactly: momentum
+    0.1, biased variance for normalization, unbiased for the running update.
+    """
     param_free: str = "batch"
     ks: int = 3
+    use_pallas: bool = False
+    nhidden: int = 128
 
     @nn.compact
     def __call__(self, x: jax.Array, segmap: jax.Array, w: jax.Array,
                  use_running_average: bool = False) -> jax.Array:
-        out_adain = ApplyStyle(name="adain")(x, w)
-        out_spade = Spade(self.param_free, self.ks, name="spade")(
-            x, segmap, use_running_average)
-        return (out_spade + out_adain) * 0.5
+        from seg2eye_tpu.ops.pallas import spade_style as K
+
+        assert self.ks == 3, "fused path implements the default 3x3 SPADE"
+        n, h, wd, c = x.shape
+        s = segmap.shape[-1]
+        init = xavier_normal_init(0.02)
+        zeros = nn.initializers.zeros
+        ws = self.param("spade_mlp_shared_kernel", init,
+                        (3, 3, s, self.nhidden))
+        bs = self.param("spade_mlp_shared_bias", zeros, (self.nhidden,))
+        wg = self.param("spade_mlp_gamma_kernel", init,
+                        (3, 3, self.nhidden, c))
+        bg = self.param("spade_mlp_gamma_bias", zeros, (c,))
+        wb = self.param("spade_mlp_beta_kernel", init,
+                        (3, 3, self.nhidden, c))
+        bb = self.param("spade_mlp_beta_bias", zeros, (c,))
+        style = FCStyle(c * 2, gain=1.0, name="adain_linear")(
+            w.astype(jnp.float32))                    # (N, 2C)
+
+        x32 = x.astype(jnp.float32)
+        if self.param_free == "batch":
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((c,), jnp.float32))
+            if use_running_average:
+                mean, var = ra_mean.value, ra_var.value
+            else:
+                mean = jnp.mean(x32, axis=(0, 1, 2))
+                var = jnp.var(x32, axis=(0, 1, 2))
+                if not self.is_initializing() and \
+                        self.is_mutable_collection("batch_stats"):
+                    cnt = n * h * wd
+                    unbiased = var * (cnt / max(cnt - 1, 1))
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
+            mean_nc = jnp.broadcast_to(mean, (n, c))
+            var_nc = jnp.broadcast_to(var, (n, c))
+        elif self.param_free == "instance":
+            mean_nc = jnp.mean(x32, axis=(1, 2))
+            var_nc = jnp.var(x32, axis=(1, 2))
+        else:
+            raise ValueError(self.param_free)
+
+        if self.use_pallas and K.pallas_eligible(x.shape):
+            return K.fused_spade_style(x, segmap.astype(jnp.float32), style,
+                                       mean_nc, var_nc,
+                                       ws, bs, wg, bg, wb, bb)
+        return K.spade_style_reference(x, segmap.astype(x.dtype), style,
+                                       mean_nc, var_nc,
+                                       ws, bs, wg, bg, wb, bb)
 
 
 class SpadeStyleResnetBlock(nn.Module):
@@ -100,6 +155,7 @@ class SpadeStyleResnetBlock(nn.Module):
     spectral: bool = True
     param_free: str = "batch"
     ks: int = 3
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, segmap: jax.Array, w: jax.Array,
@@ -108,7 +164,7 @@ class SpadeStyleResnetBlock(nn.Module):
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
         norm = lambda name: SpadeStyleBlock(  # noqa: E731
-            self.param_free, self.ks, name=name)
+            self.param_free, self.ks, self.use_pallas, name=name)
         conv = lambda feats, k, bias, name: SpectralConv(  # noqa: E731
             feats, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
             use_bias=bias, spectral=self.spectral, name=name)

@@ -127,7 +127,11 @@ class Options:
     compute_dtype: str = "bfloat16"           # bfloat16 | float32 compute policy
     data_axis: int = 0                        # devices along the `data` mesh axis; 0 = all
     model_axis: int = 1                       # devices along the `model` mesh axis
-    use_pallas: bool = True                   # fused Pallas kernels when profitable
+    # Optional fused Pallas SPADE+Style path (ops/pallas/spade_style.py).
+    # Default OFF: measured on v5e r1, XLA's own fusion of the unfused math
+    # is faster end-to-end (72 vs 96 ms generator fwd at bs16); the kernel is
+    # kept correct+tested for future tuning (see PARITY.md).
+    use_pallas: bool = False
     prefetch: int = 2                         # host->device prefetch depth
     eval_use_running_stats: bool = False      # reference never calls .eval(); parity=False
     max_steps: int = 0                        # 0 = unlimited; handy for smoke runs

@@ -34,9 +34,9 @@ def env(tmp_path_factory):
 
 
 def test_deeplab_param_parity():
-    """Reference DeepLab(resnet101, os16) has 59,339,169 params at
-    num_classes=1 and 59,339,940 at 4 (measured from the vendored torch
-    code). Our kernels share shapes exactly."""
+    """Param totals measured from the vendored torch code at num_classes=1:
+    resnet101 59,339,169 (59,339,940 at nc=4), xception 54,700,177,
+    drn-d-54 40,731,921, mobilenetv2 5,810,913. Identical kernel shapes."""
     for nc, expect in ((1, 59_339_169), (4, 59_339_940)):
         net = DeepLab(backbone="resnet", output_stride=16, num_classes=nc)
         v = jax.eval_shape(
@@ -44,6 +44,24 @@ def test_deeplab_param_parity():
             jax.random.PRNGKey(0))
         got = param_count(v["params"])
         assert got == expect, (nc, got, expect)
+    for bk, expect in (("xception", 54_700_177), ("drn", 40_731_921),
+                       ("mobilenet", 5_810_913)):
+        net = DeepLab(backbone=bk, output_stride=16, num_classes=1)
+        v = jax.eval_shape(
+            lambda k: net.init(k, jnp.zeros((1, 64, 64, 3))),
+            jax.random.PRNGKey(0))
+        got = param_count(v["params"])
+        assert got == expect, (bk, got, expect)
+
+
+def test_extra_backbones_forward():
+    """xception/drn/mobilenet run at tiny spatial size."""
+    x = jnp.zeros((1, 64, 64, 3))
+    for bk in ("xception", "drn", "mobilenet"):
+        net = DeepLab(backbone=bk, output_stride=16, num_classes=2)
+        v = net.init(jax.random.PRNGKey(0), x)
+        out = net.apply(v, x)
+        assert out.shape == (1, 64, 64, 2), bk
 
 
 def test_deeplab_tiny_forward():
