@@ -110,22 +110,31 @@ class SpectralConv(nn.Module):
                             (kh, kw, in_ch, self.features))
         if self.spectral:
             # torch reshapes (O,I,kh,kw)->(O,N); we use M=(O,N) built from HWIO.
+            # Power-iteration semantics match torch exactly: training forward
+            # updates v = normalize(M^T u), u = normalize(M v) and persists
+            # BOTH; eval uses the stored pair untouched.
             w_mat = kernel.reshape(-1, self.features).T  # (O, N)
+            n_in = w_mat.shape[1]
+
+            def rng():
+                return (self.make_rng("params") if self.has_rng("params")
+                        else jax.random.PRNGKey(0))
+
             u_var = self.variable(
                 "spectral", "u",
-                lambda: _l2_normalize(
-                    jax.random.normal(self.make_rng("params")
-                                      if self.has_rng("params") else
-                                      jax.random.PRNGKey(0),
-                                      (self.features,))))
-            u = u_var.value
+                lambda: _l2_normalize(jax.random.normal(
+                    rng(), (self.features,))))
+            v_var = self.variable(
+                "spectral", "v",
+                lambda: _l2_normalize(jax.lax.stop_gradient(
+                    kernel.reshape(-1, self.features).T).T @ u_var.value))
+            u, v = u_var.value, v_var.value
             if update_stats and not self.is_initializing():
                 w_ng = jax.lax.stop_gradient(w_mat)
                 v = _l2_normalize(w_ng.T @ u)
                 u = _l2_normalize(w_ng @ v)
                 u_var.value = u
-            else:
-                v = _l2_normalize(jax.lax.stop_gradient(w_mat).T @ u)
+                v_var.value = v
             u = jax.lax.stop_gradient(u)
             v = jax.lax.stop_gradient(v)
             sigma = jnp.dot(u, w_mat @ v)

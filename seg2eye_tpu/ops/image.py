@@ -47,16 +47,37 @@ def resize_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
 
 
 def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Half-pixel bilinear resize (NHWC).
+    """Half-pixel bilinear resize WITHOUT antialiasing (NHWC).
 
     Matches torch F.interpolate(mode='bilinear', align_corners=False)
-    (encoder.py:54-55) and cv2.resize INTER_LINEAR (postprocessor.py:113):
-    all three use half-pixel-center sampling.
+    (encoder.py:54-55) and cv2.resize INTER_LINEAR (postprocessor.py:113)
+    exactly, including on downscale — jax.image.resize antialiases when
+    downscaling, which torch/cv2 do not, so this is built from two 1-D
+    gather interpolations with positions (i+0.5)*in/out - 0.5 clamped.
     """
     b, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
-    return jax.image.resize(x, (b, out_h, out_w, c), method="linear")
+
+    def axis(out_n, in_n):
+        pos = (np.arange(out_n) + 0.5) * (in_n / out_n) - 0.5
+        pos = np.clip(pos, 0.0, in_n - 1)
+        lo = np.minimum(np.floor(pos).astype(np.int32), in_n - 1)
+        hi = np.minimum(lo + 1, in_n - 1)
+        frac = (pos - lo).astype(np.float32)
+        return lo, hi, frac
+
+    hlo, hhi, hf = axis(out_h, h)
+    wlo, whi, wf = axis(out_w, w)
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    top = xf[:, hlo]
+    bot = xf[:, hhi]
+    xh = top + (bot - top) * hf[None, :, None, None]
+    left = xh[:, :, wlo]
+    right = xh[:, :, whi]
+    out = left + (right - left) * wf[None, None, :, None]
+    return out.astype(dt)
 
 
 def resize_bilinear_ac(x: jax.Array, out_h: int, out_w: int) -> jax.Array:

@@ -135,6 +135,7 @@ class Options:
     prefetch: int = 2                         # host->device prefetch depth
     eval_use_running_stats: bool = False      # reference never calls .eval(); parity=False
     max_steps: int = 0                        # 0 = unlimited; handy for smoke runs
+    profile_steps: int = 0                    # trace N steps with jax.profiler
 
     # derived (filled by finalize(); base_options.py:158-161)
     semantic_nc: int = 4

@@ -7,6 +7,7 @@ crash-safe final save in ``finally``.
 """
 from __future__ import annotations
 
+import os
 import traceback
 from typing import Dict, Optional
 
@@ -59,6 +60,7 @@ def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
     last_losses: Dict = {}
     n_iters = 0
     stop = False
+    profiling = False
     try:
         for epoch in iter_counter.training_epochs():
             if iter_counter.current_epoch != epoch:
@@ -82,6 +84,23 @@ def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
                     losses.update(d_losses)
                 last_losses = losses
                 n_iters += 1
+
+                # jax.profiler tracing window (SURVEY §5.1: the reference only
+                # had wall-clock time_per_iter; we add real device traces)
+                if opt.profile_steps:
+                    if n_iters == 2:
+                        jax.profiler.start_trace(
+                            os.path.join(opt.expr_dir, "profile"))
+                        profiling = True
+                    elif profiling and n_iters >= 2 + opt.profile_steps:
+                        jax.tree_util.tree_map(
+                            lambda x: x.block_until_ready()
+                            if hasattr(x, "block_until_ready") else x,
+                            losses)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        print("profile written to",
+                              os.path.join(opt.expr_dir, "profile"))
 
                 if iter_counter.needs_printing():
                     host_losses = {k: float(jnp.mean(v))
@@ -135,6 +154,10 @@ def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
         print(traceback.format_exc())
         raise
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
+            print("profile written to",
+                  os.path.join(opt.expr_dir, "profile"))
         print("saving the model before quitting")
         checkpoint.save_state(state, opt, "latest")
         iter_counter.record_current_iter()

@@ -27,9 +27,10 @@ if __name__ == "__main__":
     state = state_lib.create_state(model, jax.random.PRNGKey(opt.seed))
     state = checkpoint.load_state(state, opt, opt.which_epoch)
     tester = Tester(opt, dataset_key=opt.dataset_key)
+    limit = -1 if opt.how_many == float("inf") else int(opt.how_many)
     if opt.dataset_key in ("validation", "train") and not opt.produce_npy:
-        tester.run(model, state.variables, mode="full",
+        tester.run(model, state.variables, mode="full", limit=limit,
                    write_error_log=opt.write_error_log)
     else:
         print("Running inference")
-        tester.run_test(model, state.variables)
+        tester.run_test(model, state.variables, limit=limit)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Numerical forward-equivalence check against the PyTorch reference.
+
+Builds the reference networks (from /root/reference, read-only) at a small
+config with random weights, converts the state_dicts with
+seg2eye_tpu.utils.torch_convert, and compares forward outputs element-wise:
+generator (given seg one-hot + w), encoder (mu/logvar), discriminator
+(all per-scale intermediates).  Run results are recorded in PARITY.md.
+
+Usage:  JAX_PLATFORMS=cpu python tools/check_reference_parity.py [ref_path]
+"""
+import os
+import sys
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seg2eye_tpu.utils.platform import configure_from_env  # noqa: E402
+
+configure_from_env()
+
+import numpy as np                                         # noqa: E402
+
+
+def main(ref="/root/reference"):
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    # stub torchvision (only transitively imported by the reference)
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+    tr.Compose = tr.Resize = tr.Lambda = tr.ToTensor = tr.Normalize = object
+    tv.transforms = tr
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+    sys.path.insert(0, ref)
+
+    from models.networks.discriminator import MultiscaleDiscriminator
+    from models.networks.encoder import ConvEncoder
+    from models.networks.generator import SPADESTYLEGenerator
+
+    from seg2eye_tpu.models.pix2pix import Pix2Pix
+    from seg2eye_tpu.options import Options
+    from seg2eye_tpu.utils import torch_convert as tc
+
+    # crop_size must be >=256: the reference encoder's fc layers are sized
+    # for the 6-layer/4x4 path only (encoder.py:36-47 crashes below 256)
+    cfg = dict(ngf=8, ndf=8, w_dim=8, crop_size=256, aspect_ratio=0.8,
+               label_nc=4, num_D=2, n_layers_D=4)
+    ns = argparse.Namespace(
+        norm_G="spectralspadebatch3x3", norm_D="spectralinstance",
+        norm_E="spectralinstance", semantic_nc=4, input_nc=1, output_nc=1,
+        num_upsampling_layers="normal", netD_subarch="n_layer",
+        no_ganFeat_loss=False, **cfg)
+    torch.manual_seed(0)
+    tg, te, td = SPADESTYLEGenerator(ns), ConvEncoder(ns), \
+        MultiscaleDiscriminator(ns)
+    for m in (tg, te, td):
+        m.eval()
+
+    def sd(m):
+        return {k: v.detach().numpy()
+                for k, v in m.state_dict().items()}
+
+    opt = Options(compute_dtype="float32", **cfg).finalize()
+    model = Pix2Pix(opt)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    vg = tc.convert_generator(sd(tg), variables["G"])
+    ve = tc.convert_encoder(sd(te), variables["E"], w_dim=cfg["w_dim"])
+    vd = tc.convert_discriminator(sd(td), variables["D"],
+                                  num_d=cfg["num_D"],
+                                  n_layers=cfg["n_layers_D"])
+
+    rng = np.random.default_rng(0)
+    B, H, W = 2, 320, 256
+    seg_np = jax.nn.one_hot(rng.integers(0, 4, (B, H, W)), 4,
+                            dtype=np.float32)
+    w_np = rng.normal(size=(B, cfg["w_dim"])).astype(np.float32)
+    img_np = rng.uniform(-1, 1, (B, H, W, 1)).astype(np.float32)
+
+    def report(name, ours, theirs, tol):
+        ours, theirs = np.asarray(ours), np.asarray(theirs)
+        diff = np.max(np.abs(ours - theirs))
+        scale = max(np.max(np.abs(theirs)), 1e-6)
+        status = "OK " if diff / scale < tol else "FAIL"
+        print(f"{status} {name}: max|diff| {diff:.3e} (rel {diff / scale:.3e})")
+        return diff / scale < tol
+
+    ok = True
+
+    # generator (eval: running BN stats, stored spectral u/v)
+    with torch.no_grad():
+        out_t = tg(torch.from_numpy(np.transpose(np.asarray(seg_np),
+                                                 (0, 3, 1, 2))),
+                   torch.from_numpy(w_np)).numpy()
+    out_t = np.transpose(out_t, (0, 2, 3, 1))
+    out_j = model.gen.apply(vg, jnp.asarray(seg_np), jnp.asarray(w_np),
+                            update_stats=False, use_running_average=True)
+    ok &= report("generator fwd", out_j, out_t, 2e-4)
+
+    # encoder
+    with torch.no_grad():
+        mu_t, logvar_t, feats_t = te(torch.from_numpy(
+            np.transpose(img_np, (0, 3, 1, 2))))
+    mu_j, logvar_j, feats_j = model.enc.apply(ve, jnp.asarray(img_np),
+                                              update_stats=False)
+    ok &= report("encoder mu", mu_j, mu_t.numpy(), 2e-4)
+    ok &= report("encoder logvar", logvar_j, logvar_t.numpy(), 2e-4)
+    for i, (fj, ft) in enumerate(zip(feats_j, feats_t)):
+        ok &= report(f"encoder feat{i}",
+                     fj, np.transpose(ft.numpy(), (0, 2, 3, 1)), 2e-4)
+
+    # discriminator
+    din = rng.uniform(-1, 1, (B, H, W, 5)).astype(np.float32)
+    with torch.no_grad():
+        outs_t = td(torch.from_numpy(np.transpose(din, (0, 3, 1, 2))))
+    outs_j = model.disc.apply(vd, jnp.asarray(din), update_stats=False)
+    for s in range(len(outs_t)):
+        for l in range(len(outs_t[s])):
+            ok &= report(
+                f"D scale{s} layer{l}", outs_j[s][l],
+                np.transpose(outs_t[s][l].numpy(), (0, 2, 3, 1)), 2e-4)
+
+    print("\nPARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Convert reference PyTorch checkpoints ({epoch}_net_{G,D,E}.pth) into
+seg2eye_tpu .ckpt files, so users of mcbuehler/Seg2Eye can bring their
+trained weights.
+
+    python tools/convert_torch_checkpoint.py --checkpoints_dir REF_DIR \
+        --name EXP --which_epoch latest --out_dir ./checkpoints/EXP \
+        [--ngf 64 --ndf 64 --w_dim 16 --crop_size 256 ...]
+
+Also converts torchvision ResNet-101 weights for the DeepLab backbone:
+
+    python tools/convert_torch_checkpoint.py --resnet101 resnet101.pth \
+        --out_dir ./pretrained
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seg2eye_tpu.utils.platform import configure_from_env  # noqa: E402
+
+configure_from_env()
+
+import flax.serialization                                  # noqa: E402
+import jax                                                 # noqa: E402
+import numpy as np                                         # noqa: E402
+
+from seg2eye_tpu.models.pix2pix import Pix2Pix             # noqa: E402
+from seg2eye_tpu.options import Options                    # noqa: E402
+from seg2eye_tpu.utils import torch_convert as tc          # noqa: E402
+
+
+def load_state_dict(path):
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoints_dir", default="")
+    p.add_argument("--name", default="")
+    p.add_argument("--which_epoch", default="latest")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--resnet101", default="")
+    for flag, dv in (("--ngf", 64), ("--ndf", 64), ("--w_dim", 16),
+                     ("--crop_size", 256), ("--label_nc", 4),
+                     ("--num_D", 2), ("--n_layers_D", 4)):
+        p.add_argument(flag, type=int, default=dv)
+    p.add_argument("--aspect_ratio", type=float, default=0.8)
+    p.add_argument("--num_upsampling_layers", default="normal")
+    a = p.parse_args()
+    os.makedirs(a.out_dir, exist_ok=True)
+
+    if a.resnet101:
+        from seg2eye_tpu.models.deeplab import ResNetBackbone
+        net = ResNetBackbone()
+        template = jax.eval_shape(
+            lambda k: net.init(k, np.zeros((1, 64, 64, 3), np.float32)),
+            jax.random.PRNGKey(0))
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), template)
+        v = tc.convert_resnet_backbone(load_state_dict(a.resnet101), template)
+        out = os.path.join(a.out_dir, "resnet101_backbone.ckpt")
+        with open(out, "wb") as f:
+            f.write(flax.serialization.to_bytes(v))
+        print("wrote", out)
+        return
+
+    opt = Options(ngf=a.ngf, ndf=a.ndf, w_dim=a.w_dim, crop_size=a.crop_size,
+                  label_nc=a.label_nc, num_D=a.num_D, n_layers_D=a.n_layers_D,
+                  aspect_ratio=a.aspect_ratio,
+                  num_upsampling_layers=a.num_upsampling_layers,
+                  compute_dtype="float32").finalize()
+    model = Pix2Pix(opt)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    base = os.path.join(a.checkpoints_dir, a.name)
+
+    def path(net):
+        return os.path.join(base, f"{a.which_epoch}_net_{net}.pth")
+
+    converted = {
+        "G": tc.convert_generator(load_state_dict(path("G")),
+                                  variables["G"]),
+        "E": tc.convert_encoder(load_state_dict(path("E")), variables["E"],
+                                w_dim=a.w_dim),
+    }
+    if os.path.exists(path("D")):
+        converted["D"] = tc.convert_discriminator(
+            load_state_dict(path("D")), variables["D"],
+            num_d=a.num_D, n_layers=a.n_layers_D)
+    for net, v in converted.items():
+        out = os.path.join(a.out_dir, f"{a.which_epoch}_net_{net}.ckpt")
+        with open(out, "wb") as f:
+            f.write(flax.serialization.to_bytes(v))
+        print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
