@@ -59,16 +59,27 @@ def main() -> None:
         state, losses, _ = steps.train_step(state, batch)
         _sync = float(np.mean(np.asarray(losses["GAN"])))
 
+    # (a) per-step latency with a host sync each step
     times = []
     for _ in range(steps_n):
         t0 = time.time()
         state, losses, _ = steps.train_step(state, batch)
         _sync = float(np.mean(np.asarray(losses["GAN"])))   # honest sync
         times.append(time.time() - t0)
-    step_s = float(np.median(times))
+    latency_s = float(np.median(times))
+
+    # (b) pipelined throughput: chain steps via the donated state and sync
+    # once at the end — this is how the training loop actually runs (it only
+    # syncs at print_freq), so it is the honest throughput number.
+    t0 = time.time()
+    for _ in range(steps_n):
+        state, losses, _ = steps.train_step(state, batch)
+    _sync = float(np.mean(np.asarray(losses["GAN"])))
+    step_s = (time.time() - t0) / steps_n
     img_s = bs / step_s
-    print(f"[bench] bs={bs} step={step_s * 1000:.1f}ms "
-          f"({steps_n} steps, median)", file=sys.stderr)
+    print(f"[bench] bs={bs} pipelined={step_s * 1000:.1f}ms/step, "
+          f"synced latency={latency_s * 1000:.1f}ms "
+          f"({steps_n} steps)", file=sys.stderr)
     print(json.dumps({
         "metric": "train_images_per_sec_chip",
         "value": round(img_s, 2),

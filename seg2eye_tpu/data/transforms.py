@@ -1,11 +1,14 @@
 """Host-side transforms (numpy/cv2) applied at load time.
 
 Parity notes (reference: data/base_dataset.py):
-  * 'fixed' preprocess resizes every image to W=crop_size,
-    H=round(crop_size/aspect_ratio) (base_dataset.py:67-70); bicubic for
-    images, nearest for masks (openeds_dataset.py:91-104).
-  * Random horizontal flip shared across mask/style/target of a sample via
-    the params dict (base_dataset.py:40-47).
+  * preprocess modes (base_dataset.py:50-80): resize_and_crop, crop,
+    scale_width(_and_crop), scale_shortside(_and_crop), fixed, none.
+    'fixed' (the OpenEDS default) resizes to W=crop_size,
+    H=round(crop_size/aspect_ratio) (base_dataset.py:67-70); 'none' rounds
+    to a multiple of 32 (base_dataset.py:63-65).
+  * get_params draws the shared crop position and flip coin
+    (base_dataset.py:25-47).
+  * bicubic for images, nearest for masks (openeds_dataset.py:91-104).
   * ToTensor+Normalize(0.5, 0.5): uint8 [0,255] -> float32 [-1,1]; masks stay
     uint8 class ids (openeds_dataset.py:93-97).
 
@@ -20,35 +23,90 @@ import cv2
 import numpy as np
 
 
-def get_params(opt, rng: np.random.Generator) -> Dict:
-    """Per-sample transform params (base_dataset.py:25-47).  'fixed' mode has
-    no crop; only the flip coin matters."""
+def get_params(opt, rng: np.random.Generator,
+               size: tuple = None) -> Dict:
+    """Per-sample transform params (base_dataset.py:25-47). ``size`` is the
+    source (w, h) — needed by the *_and_crop modes."""
+    w, h = size if size is not None else (opt.image_width, opt.image_height)
+    new_w, new_h = w, h
+    mode = opt.preprocess_mode
+    if mode == "resize_and_crop":
+        new_w = new_h = opt.load_size
+    elif mode == "scale_width_and_crop":
+        new_w = opt.load_size
+        new_h = opt.load_size * h // w
+    elif mode == "scale_shortside_and_crop":
+        ss, ls = min(w, h), max(w, h)
+        width_is_shorter = w == ss
+        ls = int(opt.load_size * ls / ss)
+        new_w, new_h = (ss, ls) if width_is_shorter else (ls, ss)
+
+    x = int(rng.integers(0, max(0, new_w - opt.crop_size) + 1))
+    y = int(rng.integers(0, max(0, new_h - opt.crop_size) + 1))
     flip = False
     if not opt.no_flip and opt.isTrain:
         flip = bool(rng.random() > 0.5)
-    return {"flip": flip}
+    return {"crop_pos": (x, y), "flip": flip}
 
 
-def resize_fixed(img: np.ndarray, w: int, h: int, is_mask: bool) -> np.ndarray:
+def _resize(img: np.ndarray, w: int, h: int, is_mask: bool) -> np.ndarray:
     if img.shape[0] == h and img.shape[1] == w:
         return img
     interp = cv2.INTER_NEAREST if is_mask else cv2.INTER_CUBIC
     return cv2.resize(img, (w, h), interpolation=interp)
 
 
+# kept for back-compat with earlier call sites
+def resize_fixed(img: np.ndarray, w: int, h: int,
+                 is_mask: bool) -> np.ndarray:
+    return _resize(img, w, h, is_mask)
+
+
+def _apply_spatial(img: np.ndarray, opt, params: Dict,
+                   is_mask: bool) -> np.ndarray:
+    """The spatial part of get_transform (base_dataset.py:50-80)."""
+    mode = opt.preprocess_mode
+    h, w = img.shape[:2]
+    if "resize" in mode:
+        img = _resize(img, opt.load_size, opt.load_size, is_mask)
+    elif "scale_width" in mode:
+        if w != opt.load_size:
+            img = _resize(img, opt.load_size, opt.load_size * h // w, is_mask)
+    elif "scale_shortside" in mode:
+        ss, ls = min(w, h), max(w, h)
+        if ss != opt.load_size:
+            ls = int(opt.load_size * ls / ss)
+            nw, nh = (opt.load_size, ls) if w == ss else (ls, opt.load_size)
+            img = _resize(img, nw, nh, is_mask)
+
+    if "crop" in mode:
+        x, y = params.get("crop_pos", (0, 0))
+        img = img[y:y + opt.crop_size, x:x + opt.crop_size]
+
+    if mode == "none":
+        base = 32
+        nh = int(round(img.shape[0] / base) * base)
+        nw = int(round(img.shape[1] / base) * base)
+        if (nh, nw) != img.shape[:2]:
+            img = _resize(img, nw, nh, is_mask)
+
+    if mode == "fixed":
+        img = _resize(img, opt.image_width, opt.image_height, is_mask)
+
+    if params.get("flip"):
+        img = img[:, ::-1]
+    return img
+
+
 def transform_image(img: np.ndarray, opt, params: Dict) -> np.ndarray:
     """uint8 (H,W) image -> float32 (h,w,1) in [-1,1]."""
-    out = resize_fixed(img, opt.image_width, opt.image_height, is_mask=False)
-    if params.get("flip"):
-        out = out[:, ::-1]
+    out = _apply_spatial(img, opt, params, is_mask=False)
     out = out.astype(np.float32) / 255.0
     out = (out - 0.5) / 0.5
-    return out[..., None]
+    return np.ascontiguousarray(out)[..., None]
 
 
 def transform_mask(mask: np.ndarray, opt, params: Dict) -> np.ndarray:
     """uint8 (H,W) class-id mask -> uint8 (h,w), nearest resize, no normalize."""
-    out = resize_fixed(mask, opt.image_width, opt.image_height, is_mask=True)
-    if params.get("flip"):
-        out = out[:, ::-1]
+    out = _apply_spatial(mask, opt, params, is_mask=True)
     return np.ascontiguousarray(out)

@@ -18,7 +18,8 @@ from typing import List
 import flax.linen as nn
 import jax
 
-from seg2eye_tpu.models.layers import SpectralConv, instance_norm
+from seg2eye_tpu.models.layers import (SpectralConv, SubNorm,
+                                       parse_nonspade_norm, weight_init)
 from seg2eye_tpu.ops.image import avg_pool_3x3s2
 
 
@@ -26,16 +27,20 @@ class NLayerDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 4
     norm_d: str = "spectralinstance"
+    init_type: str = "xavier"
+    init_gain: float = 0.02
 
     @nn.compact
-    def __call__(self, x: jax.Array, update_stats: bool = False
-                 ) -> List[jax.Array]:
-        spectral = "spectral" in self.norm_d
+    def __call__(self, x: jax.Array, update_stats: bool = False,
+                 use_running_average: bool = False) -> List[jax.Array]:
+        spectral, sub = parse_nonspade_norm(self.norm_d)
+        init = weight_init(self.init_type, self.init_gain)
         pad = ((2, 2), (2, 2))
         results = []
 
         x = SpectralConv(self.ndf, (4, 4), strides=(2, 2), padding=pad,
-                         use_bias=True, spectral=False, name="model0_conv")(x)
+                         use_bias=True, spectral=False, kernel_init=init,
+                         name="model0_conv")(x)
         x = nn.leaky_relu(x, 0.2)
         results.append(x)
 
@@ -44,14 +49,16 @@ class NLayerDiscriminator(nn.Module):
             nf = min(nf * 2, 512)
             stride = 1 if n == self.n_layers - 1 else 2
             x = SpectralConv(nf, (4, 4), strides=(stride, stride), padding=pad,
-                             use_bias=False, spectral=spectral,
+                             use_bias=sub in ("", "none"), spectral=spectral,
+                             kernel_init=init,
                              name=f"model{n}_conv")(x, update_stats)
-            x = instance_norm(x)
+            x = SubNorm(sub, self.init_gain,
+                        name=f"norm{n}")(x, use_running_average)
             x = nn.leaky_relu(x, 0.2)
             results.append(x)
 
         x = SpectralConv(1, (4, 4), strides=(1, 1), padding=pad,
-                         use_bias=True, spectral=False,
+                         use_bias=True, spectral=False, kernel_init=init,
                          name=f"model{self.n_layers}_conv")(x)
         results.append(x)
         return results
@@ -63,6 +70,8 @@ class MultiscaleDiscriminator(nn.Module):
     num_d: int = 2
     norm_d: str = "spectralinstance"
     get_intermediate_features: bool = True
+    init_type: str = "xavier"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x: jax.Array, update_stats: bool = False
@@ -70,6 +79,7 @@ class MultiscaleDiscriminator(nn.Module):
         result = []
         for i in range(self.num_d):
             out = NLayerDiscriminator(self.ndf, self.n_layers, self.norm_d,
+                                      self.init_type, self.init_gain,
                                       name=f"discriminator_{i}")(x, update_stats)
             if not self.get_intermediate_features:
                 out = [out[-1]]

@@ -21,8 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from seg2eye_tpu.models.layers import (SpectralConv, instance_norm,
-                                       xavier_normal_init)
+from seg2eye_tpu.models.layers import (SpectralConv, SubNorm,
+                                       parse_nonspade_norm, weight_init)
 from seg2eye_tpu.ops.image import resize_bilinear
 
 
@@ -31,12 +31,16 @@ class ConvEncoder(nn.Module):
     w_dim: int = 16
     crop_size: int = 256
     norm_e: str = "spectralinstance"
+    init_type: str = "xavier"
+    init_gain: float = 0.02
 
     @nn.compact
-    def __call__(self, x: jax.Array, update_stats: bool = False
+    def __call__(self, x: jax.Array, update_stats: bool = False,
+                 use_running_average: bool = False
                  ) -> Tuple[jax.Array, jax.Array, List[jax.Array]]:
         """x: (N,H,W,1) in [-1,1]. Returns (mu, logvar, features)."""
-        spectral = "spectral" in self.norm_e
+        spectral, sub = parse_nonspade_norm(self.norm_e)
+        init = weight_init(self.init_type, self.init_gain)
         ndf = self.ngf
         if x.shape[1] != 256 or x.shape[2] != 256:
             x = resize_bilinear(x, 256, 256)
@@ -47,16 +51,20 @@ class ConvEncoder(nn.Module):
 
         features = []
         for i, w_ch in enumerate(widths):
+            # norm wrapper removes the conv bias (normalization.py:31-35)
             x = SpectralConv(w_ch, (3, 3), strides=(2, 2),
-                             padding=((1, 1), (1, 1)), use_bias=False,
-                             spectral=spectral, name=f"layer{i}")(x, update_stats)
-            x = instance_norm(x)
+                             padding=((1, 1), (1, 1)),
+                             use_bias=sub in ("", "none"),
+                             spectral=spectral, kernel_init=init,
+                             name=f"layer{i}")(x, update_stats)
+            x = SubNorm(sub, self.init_gain,
+                        name=f"norm{i}")(x, use_running_average)
             features.append(x)
 
         out = nn.leaky_relu(x, 0.2)
         out = out.reshape(out.shape[0], -1)
-        mu = nn.Dense(self.w_dim, kernel_init=xavier_normal_init(0.02),
+        mu = nn.Dense(self.w_dim, kernel_init=init,
                       name="fc_mu")(out.astype(jnp.float32))
-        logvar = nn.Dense(self.w_dim, kernel_init=xavier_normal_init(0.02),
+        logvar = nn.Dense(self.w_dim, kernel_init=init,
                           name="fc_var")(out.astype(jnp.float32))
         return mu, logvar, features

@@ -45,6 +45,8 @@ class SpadeStyleGenerator(nn.Module):
     norm_g: str = "spectralspadebatch3x3"
     w_dim: int = 16
     use_pallas: bool = False
+    init_type: str = "xavier"
+    init_gain: float = 0.02
 
     def latent_size(self):
         n_up = {"normal": 5, "more": 6, "most": 7}[self.num_upsampling_layers]
@@ -61,17 +63,22 @@ class SpadeStyleGenerator(nn.Module):
         nf = self.ngf
         sh, sw = self.latent_size()
 
+        from seg2eye_tpu.models.layers import weight_init
+        init = weight_init(self.init_type, self.init_gain)
+
         def block(fin, fout, name):
             return SpadeStyleResnetBlock(fin, fout, spectral, param_free, ks,
                                          use_pallas=self.use_pallas,
-                                         name=name)
+                                         init_type=self.init_type,
+                                         init_gain=self.init_gain, name=name)
 
         def run(blk, x, s):
             return blk(x, resize_nearest(seg, x.shape[1], x.shape[2]), w,
                        update_stats, use_running_average)
 
         x = resize_nearest(seg, sh, sw)
-        x = SpectralConv(16 * nf, (3, 3), spectral=False, name="fc")(x)
+        x = SpectralConv(16 * nf, (3, 3), spectral=False, kernel_init=init,
+                         name="fc")(x)
 
         x = run(block(16 * nf, 16 * nf, "head_0"), x, seg)
         x = upsample2x(x)
@@ -94,5 +101,6 @@ class SpadeStyleGenerator(nn.Module):
             x = run(block(1 * nf, nf // 2, "up_4"), x, seg)
 
         x = SpectralConv(self.output_nc, (3, 3), spectral=False,
+                         kernel_init=init,
                          name="conv_img")(nn.leaky_relu(x, 0.2))
         return jnp.tanh(x)

@@ -26,6 +26,7 @@ from typing import Any, Callable, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _torch_fans(shape: Sequence[int]) -> Tuple[int, int]:
@@ -50,6 +51,43 @@ def xavier_normal_init(gain: float = 0.02) -> Callable:
     return init
 
 
+def weight_init(init_type: str = "xavier", gain: float = 0.02) -> Callable:
+    """BaseNetwork.init_weights parity (base_network.py:28-52):
+    normal | xavier | xavier_uniform | kaiming | orthogonal | none."""
+    if init_type == "xavier":
+        return xavier_normal_init(gain)
+    if init_type == "normal":
+        return lambda key, shape, dtype=jnp.float32: \
+            jax.random.normal(key, shape, dtype) * gain
+    if init_type == "xavier_uniform":
+        def xu(key, shape, dtype=jnp.float32):
+            fan_in, fan_out = _torch_fans(shape)
+            a = (6.0 / (fan_in + fan_out)) ** 0.5      # gain fixed to 1.0
+            return jax.random.uniform(key, shape, dtype, -a, a)
+        return xu
+    if init_type == "kaiming":
+        def kn(key, shape, dtype=jnp.float32):
+            fan_in, _ = _torch_fans(shape)
+            return jax.random.normal(key, shape, dtype) * (2.0 / fan_in) ** 0.5
+        return kn
+    if init_type == "orthogonal":
+        def orth(key, shape, dtype=jnp.float32):
+            flat = (int(np.prod(shape[:-1])), shape[-1]) if len(shape) > 1 \
+                else (1, shape[0])
+            init = jax.nn.initializers.orthogonal(scale=gain)
+            return init(key, flat, dtype).reshape(shape)
+        return orth
+    if init_type == "none":
+        # torch conv default: kaiming_uniform(a=sqrt(5)) ~ U(+-1/sqrt(fan_in))
+        def default(key, shape, dtype=jnp.float32):
+            fan_in, _ = _torch_fans(shape)
+            bound = (1.0 / fan_in) ** 0.5 * (3.0 ** 0.5)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+        return default
+    raise NotImplementedError(
+        f"initialization method [{init_type}] is not implemented")
+
+
 def he_fc_init(gain: float = 1.0) -> Callable:
     """StyleGAN FC init: randn * gain * in^-0.5 with lrmul=1
     (reference: models/networks/normalization.py:108-129, use_wscale=False)."""
@@ -66,6 +104,39 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.var(x32, axis=(1, 2), keepdims=True)
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def parse_nonspade_norm(norm_type: str):
+    """'spectralinstance' -> (spectral=True, 'instance')
+    (reference: get_nonspade_norm_layer, normalization.py:15-47)."""
+    spectral = norm_type.startswith("spectral")
+    sub = norm_type[len("spectral"):] if spectral else norm_type
+    if sub not in ("", "none", "instance", "batch"):
+        raise ValueError(f"normalization layer {sub} is not recognized")
+    return spectral, sub
+
+
+class SubNorm(nn.Module):
+    """The norm appended by get_nonspade_norm_layer: param-free instance,
+    affine batch (bias removed from the preceding conv), or none."""
+    sub: str = "instance"
+    init_gain: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        if self.sub in ("", "none"):
+            return x
+        if self.sub == "instance":
+            return instance_norm(x)
+        if self.sub == "batch":
+            # BaseNetwork.init_weights sets BN weight ~ N(1, gain)
+            return nn.BatchNorm(
+                use_running_average=use_running_average,
+                momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                scale_init=lambda key, shape, dtype=jnp.float32:
+                1.0 + jax.random.normal(key, shape, dtype) * self.init_gain,
+            )(x)
+        raise ValueError(self.sub)
 
 
 class ParamFreeBatchNorm(nn.Module):

@@ -90,16 +90,19 @@ class SpadeStyleBlock(nn.Module):
     ks: int = 3
     use_pallas: bool = False
     nhidden: int = 128
+    init_type: str = "xavier"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x: jax.Array, segmap: jax.Array, w: jax.Array,
                  use_running_average: bool = False) -> jax.Array:
+        from seg2eye_tpu.models.layers import weight_init
         from seg2eye_tpu.ops.pallas import spade_style as K
 
         assert self.ks == 3, "fused path implements the default 3x3 SPADE"
         n, h, wd, c = x.shape
         s = segmap.shape[-1]
-        init = xavier_normal_init(0.02)
+        init = weight_init(self.init_type, self.init_gain)
         zeros = nn.initializers.zeros
         ws = self.param("spade_mlp_shared_kernel", init,
                         (3, 3, s, self.nhidden))
@@ -156,18 +159,24 @@ class SpadeStyleResnetBlock(nn.Module):
     param_free: str = "batch"
     ks: int = 3
     use_pallas: bool = False
+    init_type: str = "xavier"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x: jax.Array, segmap: jax.Array, w: jax.Array,
                  update_stats: bool = False,
                  use_running_average: bool = False) -> jax.Array:
+        from seg2eye_tpu.models.layers import weight_init
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
         norm = lambda name: SpadeStyleBlock(  # noqa: E731
-            self.param_free, self.ks, self.use_pallas, name=name)
+            self.param_free, self.ks, self.use_pallas,
+            init_type=self.init_type, init_gain=self.init_gain, name=name)
         conv = lambda feats, k, bias, name: SpectralConv(  # noqa: E731
             feats, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
-            use_bias=bias, spectral=self.spectral, name=name)
+            use_bias=bias, spectral=self.spectral,
+            kernel_init=weight_init(self.init_type, self.init_gain),
+            name=name)
 
         if learned_shortcut:
             x_s = conv(self.fout, 1, False, "conv_s")(

@@ -58,13 +58,17 @@ class Pix2Pix:
             ngf=opt.ngf, output_nc=opt.output_nc, semantic_nc=opt.semantic_nc,
             crop_size=opt.crop_size, aspect_ratio=opt.aspect_ratio,
             num_upsampling_layers=opt.num_upsampling_layers,
-            norm_g=opt.norm_G, w_dim=opt.w_dim, use_pallas=use_pallas)
+            norm_g=opt.norm_G, w_dim=opt.w_dim, use_pallas=use_pallas,
+            init_type=opt.init_type, init_gain=opt.init_variance)
         self.enc = ConvEncoder(ngf=opt.ngf, w_dim=opt.w_dim,
-                               crop_size=opt.crop_size, norm_e=opt.norm_E)
+                               crop_size=opt.crop_size, norm_e=opt.norm_E,
+                               init_type=opt.init_type,
+                               init_gain=opt.init_variance)
         self.disc = MultiscaleDiscriminator(
             ndf=opt.ndf, n_layers=opt.n_layers_D, num_d=opt.num_D,
             norm_d=opt.norm_D,
-            get_intermediate_features=not opt.no_ganFeat_loss)
+            get_intermediate_features=not opt.no_ganFeat_loss,
+            init_type=opt.init_type, init_gain=opt.init_variance)
 
     # ------------------------------------------------------------------ #
     # init

@@ -48,6 +48,20 @@ def _text_strip(text: str, w: int, h: int = 60) -> np.ndarray:
     return strip.astype(np.float32) / 255.0
 
 
+def annotate_pupil(image01: np.ndarray, label: np.ndarray) -> np.ndarray:
+    """Draw a crosshair at the pupil (class 3) centroid
+    (reference: util/visualizer.py:169-186 annotate_pupil)."""
+    img = np.ascontiguousarray(np.asarray(image01, np.float32))
+    ys, xs = np.nonzero(np.squeeze(label) == 3)
+    if len(ys) == 0 or cv2 is None:
+        return img
+    cy, cx = int(ys.mean()), int(xs.mean())
+    u8 = (img * 255).astype(np.uint8)
+    cv2.drawMarker(u8, (cx, cy), 255, markerType=cv2.MARKER_CROSS,
+                   markerSize=9, thickness=1)
+    return u8.astype(np.float32) / 255.0
+
+
 def style_grid(style: np.ndarray, w: int, h: int, max_refs: int = 4
                ) -> np.ndarray:
     """<=4 style refs tiled in a 2x2 grid (visualizer.py:139-148)."""
