@@ -18,7 +18,7 @@ Randomness is explicit: every stochastic call takes a numpy Generator
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import h5py
 import numpy as np

@@ -27,7 +27,7 @@ The synthetic writer emits schema-complete tiny files for tests
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import h5py
 import numpy as np

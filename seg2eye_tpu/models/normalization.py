@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from seg2eye_tpu.models.layers import (FCStyle, ParamFreeBatchNorm,
-                                       SpectralConv, instance_norm,
-                                       xavier_normal_init)
+                                       SpectralConv, instance_norm)
 
 
 def parse_norm_g(norm_g: str) -> Tuple[bool, str, int]:

@@ -18,7 +18,7 @@ import argparse
 import dataclasses
 import os
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

@@ -13,7 +13,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from seg2eye_tpu.data.loader import create_dataloader
 from seg2eye_tpu.eval.tester import Tester

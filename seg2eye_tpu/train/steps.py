@@ -12,11 +12,9 @@ with the *updated* G params inside the fused step).
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from seg2eye_tpu.models.pix2pix import Pix2Pix
 from seg2eye_tpu.train.state import TrainState, make_optimizer, ttur_betas, ttur_lrs

@@ -13,8 +13,6 @@ Parity notes (reference: util/util.py:195-221, trainers save paths):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
-
 import flax.serialization
 import jax
 
