@@ -34,9 +34,17 @@ def collate(items: List[Dict]) -> Dict:
 class DataLoader:
     def __init__(self, dataset: OpenEDSDataset, batch_size: int,
                  shuffle: bool, drop_last: bool, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: int = 0,
+                 process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch; with process_count > 1 each
+        process loads only its contiguous shard of every global batch (the
+        host side of multi-process data parallelism)."""
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
+        self.local_batch = batch_size // process_count
+        self.process_index = process_index
+        self.process_count = process_count
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -99,6 +107,9 @@ class DataLoader:
                     break
 
     def _load(self, idxs: np.ndarray) -> Dict:
+        if self.process_count > 1:
+            lo = self.process_index * self.local_batch
+            idxs = idxs[lo:lo + self.local_batch]
         items = [self.dataset.__getitem__(int(i), rng=self._rng)
                  for i in idxs]
         return collate(items)
@@ -108,12 +119,36 @@ class DataLoader:
         return collate([self.dataset.__getitem__(int(idx), rng=self._rng)])
 
 
+def device_prefetch(iterator, put_fn, depth: int = 1):
+    """Wrap a batch iterator so host->device transfer of the next batch
+    overlaps the current step (the jax analogue of torch pinned-memory
+    prefetch)."""
+    import collections
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth + 1):
+            buf.append(put_fn(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put_fn(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def create_dataloader(opt, dataset_key: Optional[str] = None) -> DataLoader:
+    import jax
     ds = OpenEDSDataset(opt, dataset_key=dataset_key)
     return DataLoader(ds, batch_size=opt.batchSize,
                       shuffle=not opt.serial_batches,
                       drop_last=opt.isTrain, seed=opt.seed,
-                      prefetch=opt.prefetch)
+                      prefetch=opt.prefetch,
+                      process_index=jax.process_index() if opt.isTrain else 0,
+                      process_count=jax.process_count() if opt.isTrain else 1)
 
 
 def create_inference_dataloader(opt) -> DataLoader:

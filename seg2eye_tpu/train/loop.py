@@ -14,7 +14,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from seg2eye_tpu.data.loader import create_dataloader
+from seg2eye_tpu.data.loader import create_dataloader, device_prefetch
 from seg2eye_tpu.eval.tester import Tester
 from seg2eye_tpu.models.pix2pix import Pix2Pix
 from seg2eye_tpu.options import Options
@@ -66,10 +66,12 @@ def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
                 iter_counter.record_epoch_start(epoch)
             state = state_lib.set_learning_rate(state, opt, epoch)
 
-            for i, batch in enumerate(dataloader,
-                                      start=iter_counter.epoch_iter):
+            # host->device transfer of the next batch overlaps this step
+            prefetched = device_prefetch(
+                dataloader, lambda b: (b, device_batch(b, mesh)), depth=1)
+            for i, (batch, db) in enumerate(prefetched,
+                                            start=iter_counter.epoch_iter):
                 iter_counter.record_one_iteration()
-                db = device_batch(batch, mesh)
 
                 if opt.D_steps_per_G == 1:
                     state, losses, generated = steps.train_step(state, db)

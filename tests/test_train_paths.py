@@ -1,0 +1,91 @@
+"""Additional training-path coverage: D_steps_per_G schedule, eval with
+running stats, process-sharded loading, device prefetch."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seg2eye_tpu.data.loader import DataLoader, device_prefetch
+from seg2eye_tpu.models.pix2pix import Pix2Pix
+from seg2eye_tpu.options import Options
+from seg2eye_tpu.train import state as state_lib
+from seg2eye_tpu.train.steps import StepFunctions
+
+
+def tiny_opt(**kw):
+    base = dict(ngf=4, ndf=4, crop_size=32, aspect_ratio=1.0, w_dim=8,
+                input_ns=2, batchSize=2, compute_dtype="float32",
+                isTrain=True)
+    base.update(kw)
+    return Options(**base).finalize()
+
+
+def tiny_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "label": jnp.asarray(rng.integers(0, 4, (2, 32, 32))),
+        "style_image": jnp.asarray(
+            rng.uniform(-1, 1, (2, 2, 32, 32, 1)).astype(np.float32)),
+        "target": jnp.asarray(
+            rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32)),
+    }
+
+
+def test_d_steps_per_g_schedule():
+    """D_steps_per_G=2: G updates on even iterations only, D every iteration
+    (reference train.py:56-62)."""
+    opt = tiny_opt(D_steps_per_G=2)
+    model = Pix2Pix(opt)
+    state = state_lib.create_state(model, jax.random.PRNGKey(0))
+    steps = StepFunctions(model, donate=False)
+    batch = tiny_batch()
+    g0 = jax.tree_util.tree_leaves(state.variables["G"]["params"])[0]
+    # i=1 (odd): D only
+    state1, d_losses = steps.d_step(state, batch)
+    g1 = jax.tree_util.tree_leaves(state1.variables["G"]["params"])[0]
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    d0 = jax.tree_util.tree_leaves(state.variables["D"]["params"])[0]
+    d1 = jax.tree_util.tree_leaves(state1.variables["D"]["params"])[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_eval_running_stats_path():
+    """eval_use_running_stats=True inference uses BN running stats (proper
+    eval mode, opt-in; reference effectively never does)."""
+    opt = tiny_opt(eval_use_running_stats=True)
+    model = Pix2Pix(opt)
+    variables = model.init_variables(jax.random.PRNGKey(0), with_disc=False)
+    batch = {k: v for k, v in tiny_batch().items() if k != "target"}
+    out = jax.jit(lambda v, b: model.inference(v, b))(variables, batch)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+class _IdxDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i, rng=None):
+        return {"idx": np.array([i])}
+
+
+def test_process_sharded_loader():
+    """Global batch 4 over 2 processes -> each loads its half."""
+    batches = {}
+    for pi in range(2):
+        dl = DataLoader(_IdxDataset(8), batch_size=4, shuffle=False,
+                        drop_last=True, prefetch=0,
+                        process_index=pi, process_count=2)
+        batches[pi] = [b["idx"][:, 0].tolist() for b in dl]
+    assert batches[0][0] == [0, 1] and batches[1][0] == [2, 3]
+    assert batches[0][1] == [4, 5] and batches[1][1] == [6, 7]
+
+
+def test_device_prefetch_order():
+    dl = DataLoader(_IdxDataset(6), batch_size=2, shuffle=False,
+                    drop_last=True, prefetch=0)
+    seen = [b["idx"][:, 0].tolist()
+            for b in device_prefetch(dl, lambda b: b, depth=2)]
+    assert seen == [[0, 1], [2, 3], [4, 5]]
