@@ -22,6 +22,9 @@ import numpy as np
 GEN_BLOCKS = ("head_0", "G_middle_0", "G_middle_1",
               "up_0", "up_1", "up_2", "up_3", "up_4")
 
+# Forward-equivalence of all converters is verified by
+# tools/check_reference_parity.py (PARITY: PASS, see PARITY.md).
+
 
 def _conv(w):
     return np.transpose(w, (2, 3, 1, 0))
@@ -151,41 +154,78 @@ def convert_discriminator(sd: Dict[str, np.ndarray], template,
     return v
 
 
-def convert_resnet_backbone(sd: Dict[str, np.ndarray], template) -> Dict:
-    """torchvision-style ResNet-101 state_dict (or the vendored DeepLab
-    backbone's) -> ResNetBackbone variables ({'params','batch_stats'} under
-    the 'backbone' scope)."""
-    v = _to_mutable(template)
-    p, bs = v["params"], v["batch_stats"]
+def _set_bn(sd, flax_parent_p, flax_parent_bs, name, torch_base):
+    flax_parent_p[name]["scale"] = sd[f"{torch_base}.weight"].astype(
+        np.float32)
+    flax_parent_p[name]["bias"] = sd[f"{torch_base}.bias"].astype(np.float32)
+    flax_parent_bs[name]["mean"] = sd[
+        f"{torch_base}.running_mean"].astype(np.float32)
+    flax_parent_bs[name]["var"] = sd[
+        f"{torch_base}.running_var"].astype(np.float32)
 
-    def set_bn(flax_parent_p, flax_parent_bs, name, torch_base):
-        flax_parent_p[name]["scale"] = sd[f"{torch_base}.weight"].astype(
-            np.float32)
-        flax_parent_p[name]["bias"] = sd[f"{torch_base}.bias"].astype(
-            np.float32)
-        flax_parent_bs[name]["mean"] = sd[
-            f"{torch_base}.running_mean"].astype(np.float32)
-        flax_parent_bs[name]["var"] = sd[
-            f"{torch_base}.running_var"].astype(np.float32)
 
-    p["conv1"]["kernel"] = _conv(sd["conv1.weight"]).astype(np.float32)
-    set_bn(p, bs, "bn1", "bn1")
+def _convert_resnet_into(sd: Dict[str, np.ndarray], p, bs, prefix: str = ""):
+    def k(name):
+        return prefix + name
+
+    p["conv1"]["kernel"] = _conv(sd[k("conv1.weight")]).astype(np.float32)
+    _set_bn(sd, p, bs, "bn1", k("bn1"))
     layers = {"layer1": 3, "layer2": 4, "layer3": 23, "layer4": 3}
     for lname, blocks in layers.items():
         for i in range(blocks):
             fblk = f"{lname}_{i}"
             if fblk not in p:
                 continue
-            tbase = f"{lname}.{i}"
+            tbase = k(f"{lname}.{i}")
             for j in (1, 2, 3):
                 p[fblk][f"conv{j}"]["conv"]["kernel"] = _conv(
                     sd[f"{tbase}.conv{j}.weight"]).astype(np.float32)
-                set_bn(p[fblk][f"conv{j}"], bs[fblk][f"conv{j}"],
-                       "bn", f"{tbase}.bn{j}")
+                _set_bn(sd, p[fblk][f"conv{j}"], bs[fblk][f"conv{j}"],
+                        "bn", f"{tbase}.bn{j}")
             if f"{tbase}.downsample.0.weight" in sd and \
                     "downsample" in p[fblk]:
                 p[fblk]["downsample"]["conv"]["kernel"] = _conv(
                     sd[f"{tbase}.downsample.0.weight"]).astype(np.float32)
-                set_bn(p[fblk]["downsample"], bs[fblk]["downsample"],
-                       "bn", f"{tbase}.downsample.1")
+                _set_bn(sd, p[fblk]["downsample"], bs[fblk]["downsample"],
+                        "bn", f"{tbase}.downsample.1")
+
+
+def convert_resnet_backbone(sd: Dict[str, np.ndarray], template) -> Dict:
+    """torchvision-style ResNet-101 state_dict (or the vendored DeepLab
+    backbone's) -> ResNetBackbone variables ({'params','batch_stats'})."""
+    v = _to_mutable(template)
+    _convert_resnet_into(sd, v["params"], v["batch_stats"])
+    return v
+
+
+def convert_deeplab(sd: Dict[str, np.ndarray], template) -> Dict:
+    """Vendored-DeepLab(resnet) state_dict (e.g. a trained RefineNet/segnet
+    checkpoint, refinenet/core/checkpoint_manager.py) -> DeepLab variables."""
+    v = _to_mutable(template)
+    p, bs = v["params"], v["batch_stats"]
+    _convert_resnet_into(sd, p["backbone"], bs["backbone"], "backbone.")
+
+    def convbn(fp, fbs, torch_conv, torch_bn):
+        fp["conv"]["kernel"] = _conv(sd[torch_conv]).astype(np.float32)
+        _set_bn(sd, fp, fbs, "bn", torch_bn)
+
+    ap, abs_ = p["aspp"], bs["aspp"]
+    for i in (1, 2, 3, 4):
+        convbn(ap[f"aspp{i}"], abs_[f"aspp{i}"],
+               f"aspp.aspp{i}.atrous_conv.weight", f"aspp.aspp{i}.bn")
+    convbn(ap["global_pool"], abs_["global_pool"],
+           "aspp.global_avg_pool.1.weight", "aspp.global_avg_pool.2")
+    convbn(ap["proj"], abs_["proj"], "aspp.conv1.weight", "aspp.bn1")
+
+    dp, dbs = p["decoder"], bs["decoder"]
+    convbn(dp["low_proj"], dbs["low_proj"],
+           "decoder.conv1.weight", "decoder.bn1")
+    convbn(dp["conv1"], dbs["conv1"],
+           "decoder.last_conv.0.weight", "decoder.last_conv.1")
+    convbn(dp["conv2"], dbs["conv2"],
+           "decoder.last_conv.4.weight", "decoder.last_conv.5")
+    dp["classifier"]["kernel"] = _conv(
+        sd["decoder.last_conv.8.weight"]).astype(np.float32)
+    dp["classifier"]["bias"] = sd["decoder.last_conv.8.bias"].astype(
+        np.float32)
     return v

@@ -124,6 +124,32 @@ def main(ref="/root/reference"):
                 f"D scale{s} layer{l}", outs_j[s][l],
                 np.transpose(outs_t[s][l].numpy(), (0, 2, 3, 1)), 2e-4)
 
+    # DeepLab (RefineNet backbone) forward parity
+    sys.path.insert(0, os.path.join(ref, "refinenet", "deeplab"))
+    import torch.utils.model_zoo as zoo
+    zoo.load_url = lambda *a, **k: {}
+    orig_lsd = torch.nn.Module.load_state_dict
+    torch.nn.Module.load_state_dict = lambda s, d, strict=True: None
+    from modeling.deeplab import DeepLab as TorchDeepLab
+    torch.nn.Module.load_state_dict = orig_lsd
+
+    from seg2eye_tpu.models.deeplab import DeepLab as FlaxDeepLab
+    tdl = TorchDeepLab(backbone="resnet", output_stride=16, num_classes=1,
+                       sync_bn=False)
+    tdl.eval()
+    fdl = FlaxDeepLab(backbone="resnet", output_stride=16, num_classes=1)
+    template = fdl.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    vdl = tc.convert_deeplab(
+        {k: v.detach().numpy() for k, v in tdl.state_dict().items()},
+        template)
+    xin = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tdl(torch.from_numpy(np.transpose(xin, (0, 3, 1, 2)))).numpy()
+    out_j = fdl.apply(vdl, jnp.asarray(xin), train=False, deterministic=True)
+    ok &= report("deeplab(resnet) fwd", out_j,
+                 np.transpose(out_t, (0, 2, 3, 1)), 5e-4)
+
     print("\nPARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -45,6 +45,10 @@ def main():
     p.add_argument("--which_epoch", default="latest")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--resnet101", default="")
+    p.add_argument("--refinenet_pt", default="",
+                   help="reference RefineNet/segnet step checkpoint (.pt) to "
+                        "convert into a CheckpointManager ckpt")
+    p.add_argument("--num_classes", type=int, default=1)
     for flag, dv in (("--ngf", 64), ("--ndf", 64), ("--w_dim", 16),
                      ("--crop_size", 256), ("--label_nc", 4),
                      ("--num_D", 2), ("--n_layers_D", 4)):
@@ -53,6 +57,29 @@ def main():
     p.add_argument("--num_upsampling_layers", default="normal")
     a = p.parse_args()
     os.makedirs(a.out_dir, exist_ok=True)
+
+    if a.refinenet_pt:
+        import re
+
+        from seg2eye_tpu.refinenet.config import RefineNetConfig
+        from seg2eye_tpu.refinenet.checkpoint_manager import CheckpointManager
+        from seg2eye_tpu.refinenet.model import RefineNetModel, SegNetModel
+        from seg2eye_tpu.refinenet.training import Trainer
+
+        cfg = RefineNetConfig(compute_dtype="float32")
+        model = (RefineNetModel(cfg) if a.num_classes == 1
+                 else SegNetModel(cfg, num_classes=a.num_classes))
+        trainer = Trainer(model, cfg,
+                          "eds_loss" if a.num_classes == 1 else "ce_loss")
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        sd = load_state_dict(a.refinenet_pt)
+        state["variables"] = tc.convert_deeplab(
+            sd, jax.device_get(state["variables"]))
+        m = re.search(r"(\d+)\.pt$", a.refinenet_pt)
+        step = int(m.group(1)) if m else 0
+        path = CheckpointManager(a.out_dir).save_at_step(step, state)
+        print("wrote", path)
+        return
 
     if a.resnet101:
         from seg2eye_tpu.models.deeplab import ResNetBackbone
