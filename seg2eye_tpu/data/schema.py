@@ -48,12 +48,42 @@ def split_keys(dataset_key: str) -> Dict[str, str]:
             "filenames": "images_ss_filenames"}
 
 
+def _blob_masks(rng, n, h, w):
+    """Smooth blobby 4-class masks (concentric ellipses like an eye)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    out = np.zeros((n, h, w), np.uint8)
+    for i in range(n):
+        cy = h / 2 + rng.uniform(-h / 6, h / 6)
+        cx = w / 2 + rng.uniform(-w / 6, w / 6)
+        r = min(h, w) * rng.uniform(0.2, 0.35)
+        d = np.sqrt(((yy - cy) / 1.3) ** 2 + (xx - cx) ** 2)
+        m = np.zeros((h, w), np.uint8)
+        m[d < r] = 1
+        m[d < r * 0.6] = 2
+        m[d < r * 0.25] = 3
+        out[i] = m
+    return out
+
+
+def _render(masks, rng):
+    """Deterministic mask->image rendering (learnable target function):
+    class mean intensity + smooth illumination gradient."""
+    means = np.array([125, 103, 76, 34], np.float32)
+    n, h, w = masks.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    illum = 30.0 * (xx / w - 0.5) + 20.0 * (yy / h - 0.5)
+    img = means[masks.astype(np.int64)] + illum[None]
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def write_synthetic_h5(path: str, users: Sequence[str] = ("U001", "U002"),
                        n_ss: int = 3, n_gen: int = 4, n_seq: int = 2,
                        h: int = NATIVE_H, w: int = NATIVE_W,
                        splits: Sequence[str] = ("train", "validation", "test"),
-                       seed: int = 0) -> str:
-    """Write a tiny schema-complete OpenEDS H5 fixture."""
+                       seed: int = 0, learnable: bool = False) -> str:
+    """Write a tiny schema-complete OpenEDS H5 fixture.  With
+    ``learnable=True``, images are a deterministic rendering of blobby masks
+    (for convergence smoke tests) instead of uniform noise."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with h5py.File(path, "w") as f:
@@ -61,11 +91,18 @@ def write_synthetic_h5(path: str, users: Sequence[str] = ("U001", "U002"),
             for user in users:
                 g = f.create_group(f"{split}/{user}")
 
-                def imgs(n):
-                    return rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+                if learnable:
+                    def masks(n):
+                        return _blob_masks(rng, n, h, w)
 
-                def masks(n):
-                    return rng.integers(0, 4, (n, h, w)).astype(np.uint8)
+                    def imgs(n):
+                        return _render(_blob_masks(rng, n, h, w), rng)
+                else:
+                    def imgs(n):
+                        return rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+
+                    def masks(n):
+                        return rng.integers(0, 4, (n, h, w)).astype(np.uint8)
 
                 def names(n, prefix):
                     return np.array([f"{prefix}{user}_{i:06d}.png".encode()
@@ -85,8 +122,11 @@ def write_synthetic_h5(path: str, users: Sequence[str] = ("U001", "U002"),
                                      data=names(n_seq, "s"))
                 else:
                     nm = names(n_ss, "i")
-                    g.create_dataset("images_ss", data=imgs(n_ss))
-                    g.create_dataset("labels_ss", data=masks(n_ss))
+                    lab = masks(n_ss)
+                    # learnable mode: the image IS the rendering of the mask
+                    im = _render(lab, rng) if learnable else imgs(n_ss)
+                    g.create_dataset("images_ss", data=im)
+                    g.create_dataset("labels_ss", data=lab)
                     g.create_dataset("images_ss_filenames", data=nm)
                     g.create_dataset("labels_ss_filenames", data=nm)
                     g.create_dataset("images_gen", data=imgs(n_gen))

@@ -50,6 +50,12 @@ class Pix2Pix:
     """Holds the three module definitions + static config. Stateless."""
 
     def __init__(self, opt: Options):
+        # the reference resolves these by reflection (networks/__init__.py:14)
+        # but ships exactly one class per role; unknown names fail fast here
+        assert opt.netG == "spadestyle", f"unknown netG '{opt.netG}'"
+        assert opt.netD == "multiscale", f"unknown netD '{opt.netD}'"
+        assert opt.netE == "conv", f"unknown netE '{opt.netE}'"
+        assert opt.netD_subarch == "n_layer", opt.netD_subarch
         self.opt = opt
         self.dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
         # the fused Pallas path needs a real TPU backend (or interpret mode)
@@ -267,9 +273,17 @@ class Pix2Pix:
     # ------------------------------------------------------------------ #
     def inference(self, variables: Dict, batch: Dict,
                   latent_style: Optional[jax.Array] = None) -> jax.Array:
-        """mode='inference' (pix2pix_model.py:79-88)."""
+        """mode='inference' (pix2pix_model.py:79-88).  Passing
+        ``latent_style`` mirrors the reference's data['latent_style'] path
+        (generate_fake_from_stylecode)."""
         seg, style, _ = self.preprocess(batch)
         if latent_style is None:
             latent_style, _, _ = self.encode_w(variables, style, train=False)
         fake, _ = self.generate(variables, seg, latent_style, train=False)
         return fake.astype(jnp.float32)
+
+    def encode_only(self, variables: Dict, batch: Dict) -> jax.Array:
+        """mode='encode_only' (pix2pix_model.py:77-79): style images -> w."""
+        _, style, _ = self.preprocess(batch)
+        w, _, _ = self.encode_w(variables, style, train=False)
+        return w
