@@ -103,18 +103,23 @@ def _kernel(actv_hbm, x_ref, s0_ref, s1_ref, mean_ref, var_ref,
         dma.wait()
         actv = actv_tile[:]                            # (th+2, W_pad, 128)
 
-        accg = jnp.zeros((th * tw, c), jnp.float32)
-        accb = jnp.zeros((th * tw, c), jnp.float32)
+        # 3D dot_general keeps the (sublane, lane) layout intact — a 2D
+        # reshape of a sliced tile would force a relayout copy per patch
+        dn = (((2,), (0,)), ((), ()))
+        accg = jnp.zeros((th, tw, c), jnp.float32)
+        accb = jnp.zeros((th, tw, c), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 # bf16 operands, f32 MXU accumulation (XLA conv semantics)
-                patch = actv[dy:dy + th, dx:dx + tw, :].reshape(th * tw, nh)
-                accg = accg + jnp.dot(patch, wg_ref[dy, dx],
-                                      preferred_element_type=jnp.float32)
-                accb = accb + jnp.dot(patch, wb_ref[dy, dx],
-                                      preferred_element_type=jnp.float32)
-        gamma = (accg + bg_ref[:]).reshape(th, tw, c)
-        beta = (accb + bb_ref[:]).reshape(th, tw, c)
+                patch = actv[dy:dy + th, dx:dx + tw, :]
+                accg = accg + jax.lax.dot_general(
+                    patch, wg_ref[dy, dx], dn,
+                    preferred_element_type=jnp.float32)
+                accb = accb + jax.lax.dot_general(
+                    patch, wb_ref[dy, dx], dn,
+                    preferred_element_type=jnp.float32)
+        gamma = accg + bg_ref[:]
+        beta = accb + bb_ref[:]
 
         spade = normalized * (1.0 + gamma) + beta
         out_ref[0] = ((spade + adain) * 0.5).astype(out_ref.dtype)
