@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from seg2eye_tpu.models.layers import SpectralConv
+from seg2eye_tpu.models.layers import SpectralConv, weight_init
 from seg2eye_tpu.models.normalization import (SpadeStyleResnetBlock,
                                               parse_norm_g)
 from seg2eye_tpu.ops.image import resize_nearest
@@ -61,7 +61,6 @@ class SpadeStyleGenerator(nn.Module):
         nf = self.ngf
         sh, sw = self.latent_size()
 
-        from seg2eye_tpu.models.layers import weight_init
         init = weight_init(self.init_type, self.init_gain)
 
         def block(fin, fout, name):

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from seg2eye_tpu.models.layers import (FCStyle, ParamFreeBatchNorm,
-                                       SpectralConv, instance_norm)
+                                       SpectralConv, instance_norm,
+                                       weight_init)
 
 
 def parse_norm_g(norm_g: str) -> Tuple[bool, str, int]:
@@ -95,7 +96,6 @@ class SpadeStyleBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, segmap: jax.Array, w: jax.Array,
                  use_running_average: bool = False) -> jax.Array:
-        from seg2eye_tpu.models.layers import weight_init
         from seg2eye_tpu.ops.pallas import spade_style as K
 
         assert self.ks == 3, "fused path implements the default 3x3 SPADE"
@@ -165,7 +165,6 @@ class SpadeStyleResnetBlock(nn.Module):
     def __call__(self, x: jax.Array, segmap: jax.Array, w: jax.Array,
                  update_stats: bool = False,
                  use_running_average: bool = False) -> jax.Array:
-        from seg2eye_tpu.models.layers import weight_init
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
         norm = lambda name: SpadeStyleBlock(  # noqa: E731
