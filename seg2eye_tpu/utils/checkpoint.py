@@ -44,8 +44,15 @@ def load_state(state: TrainState, opt, epoch,
         p = _path(opt, epoch, f"net_{net}")
         if os.path.exists(p):
             with open(p, "rb") as f:
-                variables[net] = flax.serialization.from_bytes(
-                    variables[net], f.read())
+                try:
+                    variables[net] = flax.serialization.from_bytes(
+                        variables[net], f.read())
+                except ValueError as e:
+                    raise ValueError(
+                        f"Checkpoint {p} does not match the current model "
+                        f"structure (different config, or a checkpoint from "
+                        f"an older framework version). Original error: {e}"
+                    ) from e
     state = state.replace(variables=variables)
     p = _path(opt, epoch, "optim")
     if load_optim and state.opt_g is not None and os.path.exists(p):
