@@ -124,6 +124,34 @@ def main(ref="/root/reference"):
                 f"D scale{s} layer{l}", outs_j[s][l],
                 np.transpose(outs_t[s][l].numpy(), (0, 2, 3, 1)), 2e-4)
 
+    # -------- train-mode semantics: batch stats + spectral updates --------
+    tg.train()
+    with torch.no_grad():
+        out_t_train = tg(torch.from_numpy(np.transpose(np.asarray(seg_np),
+                                                       (0, 3, 1, 2))),
+                         torch.from_numpy(w_np)).numpy()
+    out_j_train, mut = model.gen.apply(
+        vg, jnp.asarray(seg_np), jnp.asarray(w_np),
+        update_stats=True, use_running_average=False,
+        mutable=["batch_stats", "spectral"])
+    ok &= report("generator fwd (train mode, batch stats)", out_j_train,
+                 np.transpose(out_t_train, (0, 2, 3, 1)), 2e-4)
+    # running-stat update semantics (momentum 0.1, unbiased var)
+    sd_t = tg.state_dict()
+    ok &= report(
+        "BN running_mean update (head_0.norm_0)",
+        mut["batch_stats"]["head_0"]["norm_0"]["mean"],
+        sd_t["head_0.norm_0.spade.param_free_norm.running_mean"].numpy(),
+        2e-4)
+    ok &= report(
+        "BN running_var update (head_0.norm_0)",
+        mut["batch_stats"]["head_0"]["norm_0"]["var"],
+        sd_t["head_0.norm_0.spade.param_free_norm.running_var"].numpy(),
+        2e-4)
+    ok &= report("spectral u update (head_0.conv_0)",
+                 mut["spectral"]["head_0"]["conv_0"]["u"],
+                 sd_t["head_0.conv_0.weight_u"].numpy(), 2e-3)
+
     # DeepLab (RefineNet backbone) forward parity
     sys.path.insert(0, os.path.join(ref, "refinenet", "deeplab"))
     import torch.utils.model_zoo as zoo
