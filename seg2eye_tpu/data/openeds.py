@@ -116,8 +116,7 @@ class OpenEDSDataset:
                 # (openeds_dataset.py:195-199)
                 sel = sel - n_images
             images.append(grp[key][sel])
-        return np.stack([transforms.transform_image(img, self.opt, params)
-                         for img in images])
+        return transforms.transform_images_batch(images, self.opt, params)
 
     # ------------------------------------------------------------------ #
     def __getitem__(self, index: int,

@@ -106,6 +106,19 @@ def transform_image(img: np.ndarray, opt, params: Dict) -> np.ndarray:
     return np.ascontiguousarray(out)[..., None]
 
 
+def transform_images_batch(imgs, opt, params: Dict) -> np.ndarray:
+    """n uint8 (H,W) images -> (n,h,w,1) float32 [-1,1].  On the hot 'fixed'
+    path the normalize+flip+stack runs in one native pass
+    (seg2eye_tpu.native); other modes fall back to per-image transforms."""
+    if opt.preprocess_mode == "fixed" and imgs[0].dtype == np.uint8:
+        from seg2eye_tpu import native
+        resized = [_resize(im, opt.image_width, opt.image_height, False)
+                   for im in imgs]
+        return native.assemble_images(
+            resized, [bool(params.get("flip"))] * len(imgs))
+    return np.stack([transform_image(im, opt, params) for im in imgs])
+
+
 def transform_mask(mask: np.ndarray, opt, params: Dict) -> np.ndarray:
     """uint8 (H,W) class-id mask -> uint8 (h,w), nearest resize, no normalize."""
     out = _apply_spatial(mask, opt, params, is_mask=True)
