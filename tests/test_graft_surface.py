@@ -18,7 +18,10 @@ def test_bench_json_contract():
     """bench.py must emit exactly the 4-key JSON line (checked statically —
     running it needs the real chip)."""
     import ast
-    src = open("bench.py").read()
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    src = open(path).read()
     assert '"metric": "train_images_per_sec_chip"' in src or \
         "'metric'" in src or "metric" in src
     tree = ast.parse(src)
