@@ -30,7 +30,11 @@ from seg2eye_tpu.refinenet.training import Trainer, device_batch  # noqa: E402
 
 if __name__ == "__main__":
     pre = argparse.ArgumentParser(add_help=False)
-    pre.add_argument("--image_key", default="images_gen")
+    pre.add_argument("--image_key", default="",
+                     help="default: the split's style-image source — "
+                          "images_gen (train/validation) or images_ss (test) "
+                          "(dataset.py:96-105 consumes predictions for "
+                          "exactly those)")
     pre.add_argument("--splits", default="train,validation,test")
     pre.add_argument("--output", default="")
     pre_ns, rest = pre.parse_known_args()
@@ -50,7 +54,9 @@ if __name__ == "__main__":
         "deeplab_predictions_%s.h5" % time.strftime("%y%m%d_%H%M%S"))
     with h5py.File(out_path, "w") as of:
         for split in pre_ns.splits.split(","):
-            ds = SegNetEvalDataset(cfg, split, pre_ns.image_key)
+            key = pre_ns.image_key or (
+                "images_ss" if split == "test" else "images_gen")
+            ds = SegNetEvalDataset(cfg, split, key)
             if len(ds) == 0:
                 continue
             loader = DataLoader(ds, batch_size=cfg.test_batch_size,

@@ -86,6 +86,8 @@ class DataLoader:
                     if stop.is_set():
                         break
                     q.put(self._load(idxs))
+            except BaseException as e:             # surface worker failures
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -96,6 +98,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
