@@ -36,14 +36,11 @@ from seg2eye_tpu.train.steps import StepFunctions        # noqa: E402
 ASSUMED_BASELINE_IMG_S = 2.5
 
 
-def main() -> None:
-    bs = int(os.environ.get("BENCH_BS", "16"))
-    steps_n = int(os.environ.get("BENCH_STEPS", "8"))
+def _setup(bs: int):
     opt = Options(batchSize=bs, compute_dtype="bfloat16").finalize()
     model = Pix2Pix(opt)
     state = state_lib.create_state(model, jax.random.PRNGKey(0))
     steps = StepFunctions(model, donate=True)
-
     rng = np.random.default_rng(0)
     h, w = opt.image_height, opt.image_width
     batch = {
@@ -53,11 +50,28 @@ def main() -> None:
         "target": jax.numpy.asarray(
             rng.uniform(-1, 1, (bs, h, w, 1)).astype(np.float32)),
     }
+    # warmup / compile (may raise on OOM-ish compile failures)
+    state, losses, _ = steps.train_step(state, batch)
+    _sync = float(np.mean(np.asarray(losses["GAN"])))
+    return state, steps, batch
 
-    # warmup / compile
-    for _ in range(2):
-        state, losses, _ = steps.train_step(state, batch)
-        _sync = float(np.mean(np.asarray(losses["GAN"])))
+
+def main() -> None:
+    steps_n = int(os.environ.get("BENCH_STEPS", "8"))
+    candidates = [int(os.environ["BENCH_BS"])] if "BENCH_BS" in os.environ \
+        else [16, 8, 4]
+    state = steps = batch = None
+    for bs in candidates:
+        try:
+            state, steps, batch = _setup(bs)
+            break
+        except Exception as e:                        # degrade batch size
+            print(f"[bench] bs={bs} failed ({type(e).__name__}); "
+                  f"trying smaller", file=sys.stderr)
+    assert state is not None, "no batch size compiled"
+
+    state, losses, _ = steps.train_step(state, batch)
+    _sync = float(np.mean(np.asarray(losses["GAN"])))
 
     # (a) per-step latency with a host sync each step
     times = []
