@@ -136,6 +136,10 @@ class Options:
     eval_use_running_stats: bool = False      # reference never calls .eval(); parity=False
     max_steps: int = 0                        # 0 = unlimited; handy for smoke runs
     profile_steps: int = 0                    # trace N steps with jax.profiler
+    # OPT-IN deviation: train D on the G-step's fake instead of regenerating
+    # with the just-updated G params (the reference regenerates,
+    # pix2pix_model.py:251-254). Standard GAN practice; ~35% faster steps.
+    reuse_fake: bool = False
 
     # derived (filled by finalize(); base_options.py:158-161)
     semantic_nc: int = 4

@@ -44,12 +44,17 @@ def _g_update(model: Pix2Pix, tx_g, state: TrainState, batch: Dict):
     return state, losses, fake
 
 
-def _d_update(model: Pix2Pix, tx_d, state: TrainState, batch: Dict):
-    # regenerate fake with current (post-G-update) params under stop-grad,
-    # updating G/E mutable stats as torch's train-mode no_grad forward does
-    seg, style, target = model.preprocess(batch)
-    fake, _, _, gen_new = model.generate_fake(state.variables, seg, style,
-                                              train=True)
+def _d_update(model: Pix2Pix, tx_d, state: TrainState, batch: Dict,
+              fake=None):
+    if fake is None:
+        # regenerate fake with current (post-G-update) params under
+        # stop-grad, updating G/E mutable stats as torch's train-mode
+        # no_grad forward does
+        seg, style, target = model.preprocess(batch)
+        fake, _, _, gen_new = model.generate_fake(state.variables, seg,
+                                                  style, train=True)
+    else:
+        gen_new = {"G": state.variables["G"], "E": state.variables["E"]}
     fake = jax.lax.stop_gradient(fake)
 
     def loss_fn(params_d):
@@ -98,8 +103,12 @@ class StepFunctions:
         return state, losses
 
     def _train_step(self, state: TrainState, batch: Dict):
-        """Fused G-then-D step (reference iteration order, train.py:52-62)."""
+        """Fused G-then-D step (reference iteration order, train.py:52-62).
+        With opt.reuse_fake the D update trains on the G-step's fake instead
+        of regenerating with the updated G (opt-in deviation, ~35% faster)."""
         state, g_losses, fake = _g_update(self.model, self.tx_g, state, batch)
-        state, d_losses = _d_update(self.model, self.tx_d, state, batch)
+        reuse = fake if self.model.opt.reuse_fake else None
+        state, d_losses = _d_update(self.model, self.tx_d, state, batch,
+                                    fake=reuse)
         return (state.replace(step=state.step + 1),
                 {**g_losses, **d_losses}, fake)
