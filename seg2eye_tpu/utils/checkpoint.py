@@ -23,25 +23,39 @@ def _path(opt, epoch, name: str) -> str:
     return os.path.join(opt.expr_dir, f"{epoch}_{name}.ckpt")
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    # write-then-rename: a concurrent reader never sees a partial checkpoint
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_state(state: TrainState, opt, epoch) -> None:
     os.makedirs(opt.expr_dir, exist_ok=True)
     state = jax.device_get(state)
     for net in ("G", "D", "E"):
         if net in state.variables:
-            with open(_path(opt, epoch, f"net_{net}"), "wb") as f:
-                f.write(flax.serialization.to_bytes(state.variables[net]))
+            _atomic_write(_path(opt, epoch, f"net_{net}"),
+                          flax.serialization.to_bytes(state.variables[net]))
     aux = {"step": state.step, "opt_g": state.opt_g, "opt_d": state.opt_d}
     if state.opt_g is not None:
-        with open(_path(opt, epoch, "optim"), "wb") as f:
-            f.write(flax.serialization.to_bytes(aux))
+        _atomic_write(_path(opt, epoch, "optim"),
+                      flax.serialization.to_bytes(aux))
 
 
 def load_state(state: TrainState, opt, epoch,
-               load_optim: bool = True) -> TrainState:
-    """Restore networks (and optimizer state when present) into ``state``."""
+               load_optim: bool = True, strict: bool = False) -> TrainState:
+    """Restore networks (and optimizer state when present) into ``state``.
+    With ``strict``, a missing network file is an error — evaluation must
+    never silently run random weights."""
     variables = dict(state.variables)
     for net in list(variables.keys()):
         p = _path(opt, epoch, f"net_{net}")
+        if strict and not os.path.exists(p):
+            raise FileNotFoundError(
+                f"No checkpoint for net{net} at {p} "
+                f"(which_epoch='{epoch}')")
         if os.path.exists(p):
             with open(p, "rb") as f:
                 try:

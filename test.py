@@ -25,7 +25,8 @@ if __name__ == "__main__":
     opt = parse_options(is_train=False)
     model = Pix2Pix(opt)
     state = state_lib.create_state(model, jax.random.PRNGKey(opt.seed))
-    state = checkpoint.load_state(state, opt, opt.which_epoch)
+    state = checkpoint.load_state(state, opt, opt.which_epoch, strict=True)
+    print(f"loaded '{opt.which_epoch}' checkpoint from {opt.expr_dir}")
     tester = Tester(opt, dataset_key=opt.dataset_key)
     limit = -1 if opt.how_many == float("inf") else int(opt.how_many)
     if opt.dataset_key in ("validation", "train") and not opt.produce_npy:
