@@ -240,6 +240,19 @@ def parse_options(argv=None, is_train: bool = True, save: bool = None) -> Option
         opt.serial_batches = True
         opt.no_flip = True
     opt.finalize()
+    _print_options(opt, defaults)
     if save if save is not None else is_train:
         opt.save()
     return opt
+
+
+def _print_options(opt: Options, defaults: Options) -> None:
+    """Console dump with default diffs (base_options.py:99-109)."""
+    print("----------------- Options ---------------")
+    for f in sorted(dataclasses.fields(Options), key=lambda f: f.name):
+        v = getattr(opt, f.name)
+        comment = ""
+        if f.name != "isTrain" and v != getattr(defaults, f.name):
+            comment = "\t[default: %s]" % str(getattr(defaults, f.name))
+        print("{:>25}: {:<30}{}".format(f.name, str(v), comment))
+    print("----------------- End -------------------")

@@ -20,6 +20,8 @@ from dataclasses import dataclass
 class RefineNetConfig:
     # training (config_default.py:12-45)
     fully_reproducible: bool = False
+    use_apex: bool = True          # reference AMP flag; here: bf16 policy is
+                                   # controlled by compute_dtype instead
     batch_size: int = 32
     weight_decay: float = 0.0001
     num_epochs: int = 50
@@ -39,7 +41,9 @@ class RefineNetConfig:
 
     test_num_samples: int = 10000
     test_batch_size: int = 64
+    test_data_workers: int = 4
     test_every_n_steps: int = 1000
+    track_running_stats: bool = True
 
     checkpoints_keep_n: int = 3
     resume_from: str = ""

@@ -45,6 +45,8 @@ def learning_rate_schedule(cfg: RefineNetConfig, steps_per_epoch: int,
         return base + (target - base) * step / float(num_warmup)
     epoch = (step - num_warmup) / float(steps_per_epoch)
     interval = int(epoch / cfg.lr_decay_epoch_interval)
+    if cfg.lr_decay_strategy == "none":           # segnet.json uses this
+        return target
     if cfg.lr_decay_strategy == "exponential":
         return target * (cfg.lr_decay_factor ** interval)
     if cfg.lr_decay_strategy == "cyclic":
