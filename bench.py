@@ -65,7 +65,10 @@ def main() -> None:
         try:
             state, steps, batch = _setup(bs)
             break
-        except Exception as e:                        # degrade batch size
+        # degrade batch size ONLY on resource/compile failures (OOM, remote
+        # compile-helper crashes); numerical or shape regressions
+        # (ValueError/TypeError/AssertionError/NaN asserts) must fail loudly
+        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
             print(f"[bench] bs={bs} failed ({type(e).__name__}); "
                   f"trying smaller", file=sys.stderr)
     assert state is not None, "no batch size compiled"

@@ -14,7 +14,7 @@ from seg2eye_tpu.utils.platform import configure_from_env  # noqa: E402
 
 configure_from_env()
 
-from seg2eye_tpu.data.loader import DataLoader             # noqa: E402
+from seg2eye_tpu.data.loader import DataLoader, subsample  # noqa: E402
 from seg2eye_tpu.refinenet.config import RefineNetConfig   # noqa: E402
 from seg2eye_tpu.refinenet.dataset import RefineNetDataset  # noqa: E402
 from seg2eye_tpu.refinenet.model import RefineNetModel     # noqa: E402
@@ -28,12 +28,16 @@ if __name__ == "__main__":
                               batch_size=cfg.batch_size, shuffle=True,
                               drop_last=True, seed=cfg.seed,
                               prefetch=cfg.prefetch)
+    # periodic test splits are randomly subsampled to test_num_samples
+    # (reference refinenet/core/training.py:99-149 init_datasets)
     test_data = {
-        "val": DataLoader(RefineNetDataset(cfg, "validation"),
+        "val": DataLoader(subsample(RefineNetDataset(cfg, "validation"),
+                                    cfg.test_num_samples, cfg.seed),
                           batch_size=cfg.test_batch_size, shuffle=False,
                           drop_last=False, prefetch=cfg.prefetch),
-        "val/pick1": DataLoader(RefineNetDataset(cfg, "validation",
-                                                 pick1=True),
+        "val/pick1": DataLoader(subsample(RefineNetDataset(cfg, "validation",
+                                                           pick1=True),
+                                          cfg.test_num_samples, cfg.seed),
                                 batch_size=cfg.test_batch_size, shuffle=False,
                                 drop_last=False, prefetch=cfg.prefetch),
     }

@@ -31,6 +31,31 @@ def collate(items: List[Dict]) -> Dict:
     return batch
 
 
+class Subset:
+    """Fixed-index view of a dataset (the reference's random test-split
+    subsampling to ``test_num_samples``, refinenet/core/training.py:99-149).
+    Indices are kept sorted for H5 read locality."""
+
+    def __init__(self, dataset, indices: np.ndarray):
+        self.dataset = dataset
+        self.indices = np.sort(np.asarray(indices))
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        return self.dataset.__getitem__(int(self.indices[idx]), rng=rng)
+
+
+def subsample(dataset, n: int, seed: int = 0):
+    """Random subsample without replacement when the dataset is larger than
+    ``n`` (training.py:119-127); otherwise the dataset unchanged."""
+    if n and len(dataset) > n:
+        rng = np.random.default_rng(seed)
+        return Subset(dataset, rng.choice(len(dataset), n, replace=False))
+    return dataset
+
+
 class DataLoader:
     def __init__(self, dataset: OpenEDSDataset, batch_size: int,
                  shuffle: bool, drop_last: bool, seed: int = 0,

@@ -21,6 +21,7 @@ from typing import Dict
 
 import cv2
 import numpy as np
+from PIL import Image
 
 
 def get_params(opt, rng: np.random.Generator,
@@ -52,8 +53,19 @@ def get_params(opt, rng: np.random.Generator,
 def _resize(img: np.ndarray, w: int, h: int, is_mask: bool) -> np.ndarray:
     if img.shape[0] == h and img.shape[1] == w:
         return img
-    interp = cv2.INTER_NEAREST if is_mask else cv2.INTER_CUBIC
-    return cv2.resize(img, (w, h), interpolation=interp)
+    if is_mask:
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_NEAREST)
+    # the reference feeds PIL Images, so Image.resize(BICUBIC) ANTIALIASES
+    # the 640x400 -> 320x256 downscale (base_dataset.py:105 transforms.resize
+    # with Image.BICUBIC); cv2.INTER_CUBIC does not — per-pixel differences
+    # up to ~137/255.  Masks stay cv2 nearest (the reference passes ndarrays
+    # on that path, openeds_dataset.py:89-94).
+    if img.ndim == 2:
+        return np.asarray(Image.fromarray(img).resize((w, h), Image.BICUBIC))
+    return np.stack(
+        [np.asarray(Image.fromarray(img[..., c]).resize((w, h),
+                                                        Image.BICUBIC))
+         for c in range(img.shape[-1])], axis=-1)
 
 
 # kept for back-compat with earlier call sites

@@ -1,13 +1,16 @@
 """SPADE / AdaIN / SPADE+Style conditional normalization blocks.
 
 Parity notes (reference: models/networks/normalization.py):
-  * ``Spade``: param-free norm (batch or instance per norm_G config), then
+  * SPADE half: param-free norm (batch or instance per norm_G config), then
     gamma/beta from the seg map through a shared 128-ch 3x3 conv MLP,
     ``out = norm * (1 + gamma) + beta`` (normalization.py:63-105).
-  * ``ApplyStyle``: FC(w -> 2C) with LeakyReLU inside FC, then
+  * AdaIN half: FC(w -> 2C) with LeakyReLU inside FC, then
     ``x * (scale + 1) + offset`` (normalization.py:144-169).
   * ``SpadeStyleBlock``: (SPADE(x,seg) + AdaIN(x,w)) / 2
-    (normalization.py:172-192).
+    (normalization.py:172-192).  The modulation math lives in exactly one
+    place — ops/pallas/spade_style.py ``spade_style_reference`` (XLA) and the
+    numerically-equal fused kernel; this module only owns the parameters and
+    the normalization statistics.
 
 TPU-first deviation: instead of re-interpolating the full-res seg map inside
 every SPADE call (normalization.py:97 — up to 21 interpolations per generator
@@ -23,9 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from seg2eye_tpu.models.layers import (FCStyle, ParamFreeBatchNorm,
-                                       SpectralConv, instance_norm,
-                                       weight_init)
+from seg2eye_tpu.models.layers import FCStyle, SpectralConv, weight_init
 
 
 def parse_norm_g(norm_g: str) -> Tuple[bool, str, int]:
@@ -38,44 +39,6 @@ def parse_norm_g(norm_g: str) -> Tuple[bool, str, int]:
     ks = int(rest[-3])
     param_free = rest[:-3]
     return spectral, param_free, ks
-
-
-class Spade(nn.Module):
-    """Spatially-adaptive denormalization conditioned on the seg map."""
-    param_free: str = "batch"     # 'batch' | 'instance'
-    ks: int = 3
-    nhidden: int = 128            # hardcoded in the reference (line 81)
-
-    @nn.compact
-    def __call__(self, x: jax.Array, segmap: jax.Array,
-                 use_running_average: bool = False) -> jax.Array:
-        if self.param_free == "instance":
-            normalized = instance_norm(x)
-        elif self.param_free == "batch":
-            normalized = ParamFreeBatchNorm()(x, use_running_average)
-        else:
-            raise ValueError(self.param_free)
-
-        pad = self.ks // 2
-        conv = lambda feats, name: SpectralConv(  # noqa: E731
-            feats, (self.ks, self.ks), padding=((pad, pad), (pad, pad)),
-            spectral=False, name=name)
-        actv = nn.relu(conv(self.nhidden, "mlp_shared")(segmap.astype(x.dtype)))
-        gamma = conv(x.shape[-1], "mlp_gamma")(actv)
-        beta = conv(x.shape[-1], "mlp_beta")(actv)
-        return normalized.astype(x.dtype) * (1.0 + gamma) + beta
-
-
-class ApplyStyle(nn.Module):
-    """AdaIN-style modulation from the latent style vector w."""
-
-    @nn.compact
-    def __call__(self, x: jax.Array, w: jax.Array) -> jax.Array:
-        c = x.shape[-1]
-        style = FCStyle(c * 2, gain=1.0, name="linear")(w)   # (B, 2C)
-        scale = style[:, :c][:, None, None, :]
-        offset = style[:, c:][:, None, None, :]
-        return x * (scale + 1.0) + offset
 
 
 class SpadeStyleBlock(nn.Module):

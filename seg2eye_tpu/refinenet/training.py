@@ -63,13 +63,17 @@ def learning_rate_schedule(cfg: RefineNetConfig, steps_per_epoch: int,
     raise ValueError(cfg.lr_decay_strategy)
 
 
-def make_optimizer(cfg: RefineNetConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: RefineNetConfig,
+                   momentum: float = 0.99) -> optax.GradientTransformation:
+    """SGD with nesterov momentum; the reference hardcodes momentum per
+    trainer script: 0.99 for RefineNet (train_refinenet.py:236) and 0.9 for
+    SegNet (train_segnet.py:139)."""
     chain = []
     if cfg.gradient_norm_clip > 0.0:
         chain.append(optax.clip_by_global_norm(cfg.gradient_norm_clip))
     if cfg.weight_decay:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
-    chain.append(optax.trace(decay=0.99, nesterov=True))
+    chain.append(optax.trace(decay=momentum, nesterov=True))
 
     def build(learning_rate):
         return optax.chain(*chain, optax.scale(-learning_rate))
@@ -80,11 +84,12 @@ def make_optimizer(cfg: RefineNetConfig) -> optax.GradientTransformation:
 class Trainer:
     """Owns the jitted train/eval steps for a task model (RefineNet/SegNet)."""
 
-    def __init__(self, model, cfg: RefineNetConfig, loss_key: str):
+    def __init__(self, model, cfg: RefineNetConfig, loss_key: str,
+                 momentum: float = 0.99):
         self.model = model
         self.cfg = cfg
         self.loss_key = loss_key
-        self.tx = make_optimizer(cfg)
+        self.tx = make_optimizer(cfg, momentum=momentum)
         self.train_step = jax.jit(self._train_step)
         self.eval_step = jax.jit(self._eval_step)
 
@@ -126,6 +131,45 @@ def device_batch(batch: Dict) -> Dict:
             if isinstance(v, np.ndarray)}
 
 
+def _np32(v) -> np.ndarray:
+    """Device array (possibly bf16) -> float32 numpy."""
+    return np.asarray(jax.device_get(v)).astype(np.float32)
+
+
+def do_visualizations(out: Dict, tensorboard: Tensorboard, step: int,
+                      max_images: int = 2, tag_prefix: str = "train") -> int:
+    """Annotated prediction strips, the reference's per-image training
+    observability (refinenet/core/training.py:306-342 do_visualizations,
+    called at :589; refinenet/train_refinenet.py:256-290): one horizontal
+    strip per sample — every input channel (colorized target mask | NN
+    reference | NN reference mask for RefineNet) followed by the prediction
+    and the groundtruth, with a per-image-score text footer.  Returns the
+    number of images logged."""
+    pred = out.get("prediction")
+    if pred is None:
+        return 0
+    from seg2eye_tpu.utils.visualizer import _text_strip, _to_img01
+    inp = _np32(out["input"])
+    pred = _np32(pred)
+    gt = out.get("groundtruth", out.get("target"))
+    scores = out.get("per_image_score")
+    tensorboard.update_current_step(step)
+    logged = 0
+    for i in range(min(max_images, inp.shape[0])):
+        panels = [_to_img01(inp[i, ..., c]) for c in range(inp.shape[-1])]
+        panels.append(_to_img01(pred[i]))
+        if gt is not None:
+            panels.append(_to_img01(_np32(gt)[i]))
+        row = np.concatenate(panels, axis=1)
+        txt = f"step {step}"
+        if scores is not None:
+            txt += f" score={float(_np32(scores)[i]):.4f}"
+        strip = np.concatenate([row, _text_strip(txt, row.shape[1])], axis=0)
+        tensorboard.add_image(f"{tag_prefix}/prediction_{i}", strip[None])
+        logged += 1
+    return logged
+
+
 def test_model_on_all(trainer: Trainer, test_data: Dict[str, DataLoader],
                       step: int, tensorboard: Optional[Tensorboard] = None,
                       log_key_prefix: str = "test") -> Dict[str, Dict]:
@@ -150,7 +194,8 @@ def test_model_on_all(trainer: Trainer, test_data: Dict[str, DataLoader],
 def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
               test_data: Dict[str, DataLoader], loss_key: str,
               step_callback: Optional[Callable] = None,
-              model_name: Optional[str] = None) -> Dict:
+              model_name: Optional[str] = None,
+              momentum: float = 0.99) -> Dict:
     """Returns {'state', 'output_dir', 'steps'}."""
     model_name = model_name or type(model).__name__
     if cfg.resume_from:
@@ -166,7 +211,7 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
     gsheet = GoogleSheetLogger(identifier, cfg.full_json(), output_dir)
     ckpt_mgr = CheckpointManager(output_dir, cfg.checkpoints_keep_n)
 
-    trainer = Trainer(model, cfg, loss_key)
+    trainer = Trainer(model, cfg, loss_key, momentum=momentum)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     start_step = 0
     if cfg.resume_from:
@@ -212,6 +257,11 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
             for k, v in host.items():
                 tensorboard.add_scalar(f"train/{k}", v)
             tensorboard.add_scalar("lr/optim_0", lr)
+
+        if cfg.tensorboard_images_every_n_steps and \
+                step % cfg.tensorboard_images_every_n_steps == \
+                cfg.tensorboard_images_every_n_steps - 1:
+            do_visualizations(out, tensorboard, step + 1)
 
         if step % cfg.test_every_n_steps == cfg.test_every_n_steps - 1:
             trainer.current_variables = state["variables"]

@@ -44,8 +44,12 @@ def make_optimizer(lr: float, beta1: float, beta2: float,
                    weight_decay: float = 0.0) -> optax.GradientTransformation:
     def build(learning_rate):
         if weight_decay:
-            return optax.adamw(learning_rate, b1=beta1, b2=beta2,
-                               weight_decay=weight_decay)
+            # torch.optim.Adam(weight_decay=) adds wd*param to the gradient
+            # BEFORE the Adam moments (coupled L2), unlike decoupled adamw
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_adam(b1=beta1, b2=beta2),
+                optax.scale_by_learning_rate(learning_rate))
         return optax.adam(learning_rate, b1=beta1, b2=beta2)
     return optax.inject_hyperparams(build)(learning_rate=lr)
 

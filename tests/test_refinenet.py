@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from seg2eye_tpu.data import schema
-from seg2eye_tpu.data.loader import DataLoader
+from seg2eye_tpu.data.loader import DataLoader, subsample
 from seg2eye_tpu.models.deeplab import DeepLab
 from seg2eye_tpu.models.layers import param_count
 from seg2eye_tpu.refinenet.config import RefineNetConfig
@@ -15,8 +15,8 @@ from seg2eye_tpu.refinenet.dataset import (RefineNetDataset, colorize_segmap,
                                            write_synthetic_refinenet_fixtures)
 from seg2eye_tpu.refinenet.model import RefineNetModel, SegNetModel
 from seg2eye_tpu.refinenet.segnet_dataset import SegNetDataset
-from seg2eye_tpu.refinenet.training import (Trainer, learning_rate_schedule,
-                                            main_loop)
+from seg2eye_tpu.refinenet.training import (Trainer, do_visualizations,
+                                            learning_rate_schedule, main_loop)
 
 
 @pytest.fixture(scope="module")
@@ -165,9 +165,56 @@ def test_lr_schedule():
     assert base <= v <= target
 
 
-def test_main_loop_end_to_end(env):
+def test_test_split_subsampling(env):
+    """Periodic test loaders honor test_num_samples
+    (reference training.py:99-149)."""
     d, cfg = env
-    cfg = cfg.replace(max_steps=2, test_every_n_steps=10**6)
+    ds = RefineNetDataset(cfg, "validation", pick1=True)
+    sub = subsample(ds, 3, seed=0)
+    assert len(sub) == 3
+    item = sub.__getitem__(0, rng=np.random.default_rng(0))
+    assert "input" in item
+    # n >= len(dataset) -> unchanged
+    assert subsample(ds, 10**6, seed=0) is ds
+    assert subsample(ds, 0, seed=0) is ds
+
+
+class _RecordingTensorboard:
+    def __init__(self):
+        self.images = []
+        self.step = 0
+
+    def update_current_step(self, step):
+        self.step = step
+
+    def add_image(self, tag, img):
+        self.images.append((tag, self.step, np.asarray(img).shape))
+
+
+def test_do_visualizations_strip_contents():
+    """The training-observability strip (reference training.py:306-342):
+    input channels | prediction | groundtruth + score footer."""
+    b, h, w = 2, 16, 12
+    rng = np.random.default_rng(0)
+    out = {
+        "input": rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32),
+        "prediction": rng.uniform(-1, 1, (b, h, w, 1)).astype(np.float32),
+        "groundtruth": rng.uniform(-1, 1, (b, h, w, 1)).astype(np.float32),
+        "per_image_score": np.array([0.5, 0.7], np.float32),
+    }
+    tb = _RecordingTensorboard()
+    n = do_visualizations(out, tb, step=7, max_images=2)
+    assert n == 2 and len(tb.images) == 2
+    tag, step, shape = tb.images[0]
+    assert step == 7
+    # 3 input panels + prediction + groundtruth side by side, 60px footer
+    assert shape == (1, h + 60, 5 * w)
+
+
+def test_main_loop_end_to_end(env, monkeypatch):
+    d, cfg = env
+    cfg = cfg.replace(max_steps=2, test_every_n_steps=10**6,
+                      tensorboard_images_every_n_steps=1)
     train_loader = DataLoader(RefineNetDataset(cfg, "train"),
                               batch_size=2, shuffle=True, drop_last=True,
                               prefetch=0)
@@ -175,8 +222,16 @@ def test_main_loop_end_to_end(env):
         RefineNetDataset(cfg, "validation", pick1=True), batch_size=2,
         shuffle=False, drop_last=False, prefetch=0)}
     model = RefineNetModel(cfg)
+    vis_calls = []
+    import seg2eye_tpu.refinenet.training as training_mod
+    real_vis = training_mod.do_visualizations
+    monkeypatch.setattr(
+        training_mod, "do_visualizations",
+        lambda *a, **kw: vis_calls.append(real_vis(*a, **kw)))
     result = main_loop(model, cfg, train_loader, test_data,
                        loss_key="eds_loss", model_name="RefineNet")
+    # the periodic image hook fired every step and logged real strips
+    assert len(vis_calls) == 2 and all(n > 0 for n in vis_calls)
     assert result["steps"] == 2
     assert "val/pick1" in result["final"]
     assert np.isfinite(result["final"]["val/pick1"]["eds_loss"])

@@ -1,9 +1,10 @@
-"""Visualizer panels and the standalone Spade/ApplyStyle modules."""
+"""Visualizer panels and the SPADE+Style modulation block."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from seg2eye_tpu.models.normalization import ApplyStyle, Spade
+from seg2eye_tpu.models.normalization import SpadeStyleBlock
+from seg2eye_tpu.ops.pallas.spade_style import spade_style_reference
 from seg2eye_tpu.utils.visualizer import style_grid, visualize_sidebyside
 
 
@@ -33,16 +34,28 @@ def test_style_grid_pads_missing_refs():
     assert grid.shape == (64, 64)
 
 
-def test_standalone_spade_and_applystyle():
-    """The individual Spade/AdaIN modules (exported API) still run."""
-    x = jnp.zeros((1, 8, 8, 4))
-    seg = jnp.zeros((1, 8, 8, 4))
-    w = jnp.zeros((1, 8))
-    sp = Spade(param_free="instance")
-    v = sp.init(jax.random.PRNGKey(0), x, seg)
-    out = sp.apply(v, x, seg)
+def test_spade_style_block_instance_norm_matches_reference_math():
+    """SpadeStyleBlock's instance-norm path equals spade_style_reference
+    applied to the block's own parameters — one implementation of the
+    modulation math (reference normalization.py:172-192)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    seg = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+    blk = SpadeStyleBlock(param_free="instance")
+    variables = blk.init(jax.random.PRNGKey(1), x, seg, w)
+    out = blk.apply(variables, x, seg, w)
     assert out.shape == x.shape
-    ast = ApplyStyle()
-    v2 = ast.init(jax.random.PRNGKey(0), x, w)
-    out2 = ast.apply(v2, x, w)
-    assert out2.shape == x.shape
+
+    p = variables["params"]
+    style = jax.nn.leaky_relu(
+        w @ p["adain_linear"]["weight"] + p["adain_linear"]["bias"], 0.2)
+    mean = jnp.mean(x, axis=(1, 2))
+    var = jnp.var(x, axis=(1, 2))
+    want = spade_style_reference(
+        x, seg, style, mean, var,
+        p["spade_mlp_shared_kernel"], p["spade_mlp_shared_bias"],
+        p["spade_mlp_gamma_kernel"], p["spade_mlp_gamma_bias"],
+        p["spade_mlp_beta_kernel"], p["spade_mlp_beta_bias"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
