@@ -35,6 +35,22 @@ from seg2eye_tpu.train.steps import StepFunctions        # noqa: E402
 
 ASSUMED_BASELINE_IMG_S = 2.5
 
+# bf16 peak FLOP/s per chip by device kind (MFU denominator)
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e: 197 bf16 TFLOP/s
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e/Trillium
+}
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for k, v in PEAK_FLOPS.items():
+        if k.lower() in kind.lower():
+            return v
+    return 0.0
+
 
 def _setup(bs: int):
     opt = Options(batchSize=bs, compute_dtype="bfloat16").finalize()
@@ -75,6 +91,19 @@ def main() -> None:
 
     state, losses, _ = steps.train_step(state, batch)
     _sync = float(np.mean(np.asarray(losses["GAN"])))
+    bs = batch["target"].shape[0]
+
+    # roofline accounting: XLA's own cost analysis of the compiled fused
+    # G+D step (forward+backward+optimizers), for the MFU figure
+    flops_per_step = 0.0
+    try:
+        cost = steps.train_step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+    except Exception as e:                     # cost analysis is best-effort
+        print(f"[bench] cost_analysis unavailable: {type(e).__name__}",
+              file=sys.stderr)
 
     # (a) per-step latency with a host sync each step
     times = []
@@ -94,14 +123,22 @@ def main() -> None:
     _sync = float(np.mean(np.asarray(losses["GAN"])))
     step_s = (time.time() - t0) / steps_n
     img_s = bs / step_s
+    peak = peak_flops(jax.devices()[0])
+    mfu = (flops_per_step / step_s / peak) if (peak and flops_per_step) else 0.0
     print(f"[bench] bs={bs} pipelined={step_s * 1000:.1f}ms/step, "
-          f"synced latency={latency_s * 1000:.1f}ms "
-          f"({steps_n} steps)", file=sys.stderr)
+          f"synced latency={latency_s * 1000:.1f}ms ({steps_n} steps), "
+          f"{flops_per_step / 1e12:.2f} TFLOP/step, "
+          f"device={jax.devices()[0].device_kind!r}, "
+          f"MFU={mfu * 100:.1f}%", file=sys.stderr)
     print(json.dumps({
         "metric": "train_images_per_sec_chip",
         "value": round(img_s, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_s / ASSUMED_BASELINE_IMG_S, 2),
+        "step_ms": round(step_s * 1000, 1),
+        "batch_size": bs,
+        "flops_per_step": flops_per_step,
+        "mfu": round(mfu, 4),
     }))
 
 

@@ -127,6 +127,7 @@ class Options:
     compute_dtype: str = "bfloat16"           # bfloat16 | float32 compute policy
     data_axis: int = 0                        # devices along the `data` mesh axis; 0 = all
     model_axis: int = 1                       # devices along the `model` mesh axis
+    tp_min_channels: int = 256                # TP: shard conv kernels with >= this many out-channels
     # Optional fused Pallas SPADE+Style path (ops/pallas/spade_style.py).
     # Default OFF: measured on v5e r1, XLA's own fusion of the unfused math
     # is faster end-to-end (72 vs 96 ms generator fwd at bs16); the kernel is

@@ -53,12 +53,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Put each array with its leading (batch) axis sharded over 'data'."""
+    """Put each array with its leading (batch) axis sharded over 'data'.
+
+    Single-process: a plain device_put of the full batch.  Multi-process
+    (jax.process_count() > 1): each process's loader yields only its LOCAL
+    shard of the global batch (data/loader.py), so the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — device_put
+    of the local shard as if it were the global batch would be wrong."""
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
         spec = P("data", *([None] * (v.ndim - 1)))
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out
 
 

@@ -52,6 +52,10 @@ class RefineNetConfig:
     backbone: str = "resnet"
     output_stride: int = 16
     resnet_depth: int = 101                     # 101 (reference) | 50 | 18-ish
+    # converted torchvision ResNet-101 weights (resnet101_backbone.ckpt from
+    # tools/convert_torch_checkpoint.py --resnet101); "" = from scratch.
+    # Replaces the reference's model-zoo download (resnet.py:138-146).
+    pretrained_backbone: str = ""
 
     # data paths (reference passes these via argparse in the scripts)
     dataroot: str = ""

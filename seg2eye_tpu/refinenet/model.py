@@ -30,6 +30,25 @@ def _resnet_layers(depth: int):
     return _RESNET_LAYERS[depth]
 
 
+def load_pretrained_backbone(variables: Dict, path: str) -> Dict:
+    """Graft converted torchvision ResNet-101 weights
+    (``resnet101_backbone.ckpt`` from
+    ``tools/convert_torch_checkpoint.py --resnet101``) into DeepLab
+    variables — the TPU-side equivalent of the reference's model-zoo
+    bootstrap (refinenet/deeplab/modeling/backbone/resnet.py:138-146)."""
+    import flax.serialization
+
+    target = {"params": variables["params"]["backbone"],
+              "batch_stats": variables["batch_stats"]["backbone"]}
+    with open(path, "rb") as f:
+        loaded = flax.serialization.from_bytes(target, f.read())
+    params = dict(variables["params"])
+    params["backbone"] = loaded["params"]
+    stats = dict(variables["batch_stats"])
+    stats["backbone"] = loaded["batch_stats"]
+    return {**variables, "params": params, "batch_stats": stats}
+
+
 def _apply(net, variables, x, train: bool, rng: Optional[jax.Array]):
     rngs = {"dropout": rng} if rng is not None else None
     if train:
@@ -53,7 +72,11 @@ class RefineNetModel:
     def init(self, rng: jax.Array):
         x = jnp.zeros((1, self.cfg.input_height, self.cfg.input_width, 3),
                       jnp.float32)
-        return self.net.init(rng, x)
+        variables = jax.jit(self.net.init)(rng, x)
+        if self.cfg.pretrained_backbone:
+            variables = load_pretrained_backbone(
+                variables, self.cfg.pretrained_backbone)
+        return variables
 
     def forward(self, variables, batch: Dict, train: bool = False,
                 rng: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
@@ -94,7 +117,11 @@ class SegNetModel:
     def init(self, rng: jax.Array):
         x = jnp.zeros((1, self.cfg.input_height, self.cfg.input_width, 3),
                       jnp.float32)
-        return self.net.init(rng, x)
+        variables = jax.jit(self.net.init)(rng, x)
+        if self.cfg.pretrained_backbone:
+            variables = load_pretrained_backbone(
+                variables, self.cfg.pretrained_backbone)
+        return variables
 
     def forward(self, variables, batch: Dict, train: bool = False,
                 rng: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:

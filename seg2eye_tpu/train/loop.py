@@ -24,7 +24,8 @@ from seg2eye_tpu.utils import checkpoint
 from seg2eye_tpu.utils.files import copy_src
 from seg2eye_tpu.utils.iter_counter import IterationCounter
 from seg2eye_tpu.utils.visualizer import Visualizer
-from seg2eye_tpu.parallel.sharding import shard_batch, make_mesh
+from seg2eye_tpu.parallel.sharding import (make_mesh, param_shardings,
+                                           shard_batch)
 
 
 def device_batch(batch: Dict, mesh=None) -> Dict:
@@ -49,6 +50,13 @@ def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
     if opt.continue_train and checkpoint.has_checkpoint(opt, opt.which_epoch):
         state = checkpoint.load_state(state, opt, opt.which_epoch)
         print(f"Resumed networks from '{opt.which_epoch}' checkpoint")
+    if mesh is not None:
+        # explicit placement: DP-replicated parameters, or TP-sharded conv
+        # kernels over 'model' when opt.model_axis > 1 (GSPMD inserts the
+        # collectives); batches are sharded over 'data' in device_batch
+        state = jax.device_put(
+            state, param_shardings(state, mesh,
+                                   min_channels=opt.tp_min_channels))
 
     visualizer = Visualizer(opt)
     tester_train = Tester(opt, dataset_key="train", visualizer=visualizer)

