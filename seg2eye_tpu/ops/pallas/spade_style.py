@@ -78,84 +78,104 @@ def spade_style_reference(x, seg, style, mean, var,
 # pallas kernel
 # --------------------------------------------------------------------- #
 def _kernel(actv_hbm, x_ref, s0_ref, s1_ref, mean_ref, var_ref,
-            wg_ref, bg_ref, wb_ref, bb_ref,
-            out_ref, *, th: int, eps: float):
-    nh = NHIDDEN
-    n = pl.program_id(0)
+            wcat_ref, bcat_ref,
+            out_ref, band3, sem, *, th: int, eps: float):
+    """One (n, i) row band.
+
+    gamma/beta weights arrive CONCATENATED along output channels
+    (wcat: (3,3,128,2C)) so each (dy,dx) tap is ONE MXU dot with 2C output
+    lanes — at the generator's smallest site (C=64) that fills all 128 lanes
+    where separate gamma/beta dots would waste half, and it halves the dot
+    count everywhere.  The halo'd actv band is double-buffered: step k
+    issues step k+1's DMA before its own compute, so the copy rides under
+    the matmuls.  (Measured: the dx sublane-shifted patch reads are free —
+    a dx=0-only variant times identically — so no DMA-side shift tricks.)
+    """
     i = pl.program_id(1)
+    nh_grid = pl.num_programs(1)
+    step = pl.program_id(0) * nh_grid + i
+    num_steps = pl.num_programs(0) * nh_grid
+    slot = jax.lax.rem(step, 2)
+    nxt = step + 1
     tw = x_ref.shape[2]
 
-    def body(actv_tile, sem):
-        # DMA the (th+2, W+2, 128) zero-padded actv row band for this block
-        dma = pltpu.make_async_copy(
-            actv_hbm.at[n, pl.ds(i * th, th + 2)], actv_tile, sem)
-        dma.start()
+    def band_dma(s, which_slot):
+        nn = s // nh_grid
+        ii = jax.lax.rem(s, nh_grid)
+        return pltpu.make_async_copy(
+            actv_hbm.at[nn, pl.ds(ii * th, th + 2)],
+            band3.at[which_slot], sem.at[which_slot])
 
-        x = x_ref[0].astype(jnp.float32)               # (th, W, C)
-        c = x.shape[-1]
-        mean = mean_ref[0, 0]                          # (C,)
-        var = var_ref[0, 0]
-        s0 = s0_ref[0, 0]
-        s1 = s1_ref[0, 0]
-        normalized = (x - mean) * jax.lax.rsqrt(var + eps)
-        adain = x * (s0 + 1.0) + s1
+    # warm-up: first step fetches its own band
+    @pl.when(step == 0)
+    def _():
+        band_dma(step, slot).start()
 
-        dma.wait()
-        actv = actv_tile[:]                            # (th+2, W_pad, 128)
+    # prefetch the next band into the other slot
+    @pl.when(nxt < num_steps)
+    def _():
+        band_dma(nxt, 1 - slot).start()
 
-        # 3D dot_general keeps the (sublane, lane) layout intact — a 2D
-        # reshape of a sliced tile would force a relayout copy per patch
-        dn = (((2,), (0,)), ((), ()))
-        accg = jnp.zeros((th, tw, c), jnp.float32)
-        accb = jnp.zeros((th, tw, c), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                # bf16 operands, f32 MXU accumulation (XLA conv semantics)
-                patch = actv[dy:dy + th, dx:dx + tw, :]
-                accg = accg + jax.lax.dot_general(
-                    patch, wg_ref[dy, dx], dn,
-                    preferred_element_type=jnp.float32)
-                accb = accb + jax.lax.dot_general(
-                    patch, wb_ref[dy, dx], dn,
-                    preferred_element_type=jnp.float32)
-        gamma = accg + bg_ref[:]
-        beta = accb + bb_ref[:]
+    x = x_ref[0].astype(jnp.float32)               # (th, W, C)
+    c = x.shape[-1]
+    mean = mean_ref[0, 0]                          # (C,)
+    var = var_ref[0, 0]
+    s0 = s0_ref[0, 0]
+    s1 = s1_ref[0, 0]
+    normalized = (x - mean) * jax.lax.rsqrt(var + eps)
+    adain = x * (s0 + 1.0) + s1
 
-        spade = normalized * (1.0 + gamma) + beta
-        out_ref[0] = ((spade + adain) * 0.5).astype(out_ref.dtype)
+    band_dma(step, slot).wait()
+    actv = band3[slot]                             # (th+2, W_pad, 128)
 
-    pl.run_scoped(
-        body,
-        actv_tile=pltpu.VMEM((th + 2, actv_hbm.shape[2], NHIDDEN),
-                             actv_hbm.dtype),
-        sem=pltpu.SemaphoreType.DMA,
-    )
+    dn = (((2,), (0,)), ((), ()))
+    acc = jnp.zeros((th, tw, 2 * c), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            # bf16 operands, f32 MXU accumulation (XLA conv semantics)
+            patch = actv[dy:dy + th, dx:dx + tw, :]
+            acc = acc + jax.lax.dot_general(
+                patch, wcat_ref[dy, dx], dn,
+                preferred_element_type=jnp.float32)
+    acc = acc + bcat_ref[:]
+    gamma = acc[:, :, :c]
+    beta = acc[:, :, c:]
+
+    spade = normalized * (1.0 + gamma) + beta
+    out_ref[0] = ((spade + adain) * 0.5).astype(out_ref.dtype)
 
 
 def _fused_forward(x, seg, style, mean, var, ws, bs, wg, bg, wb, bb,
                    eps: float, interpret: bool):
     n, h, w, c = x.shape
     actv = seg_mlp_shared(seg.astype(x.dtype), ws, bs)
-    # Mosaic DMA: the copied sublane dim must be 8-aligned -> pad W+2 up
-    w_pad = -(-(w + 2) // 8) * 8
+    # Mosaic DMA: pad the copied sublane dim (W) to the bf16 tile (16)
+    w_pad = -(-(w + 2) // 16) * 16
     actv = jnp.pad(actv, ((0, 0), (1, 1), (1, w_pad - w - 1), (0, 0)))
 
-    # pick th so the live VMEM footprint (actv tile + x/out tiles + f32
-    # gamma/beta accumulators and temporaries) stays comfortably bounded
-    budget = 6 * 1024 * 1024
+    # pick th so the live VMEM footprint (2 dx-concat band slots + pipelined
+    # x/out tiles + the f32 gamma|beta accumulator and norm temporaries) fits
+    import os
+    budget = int(os.environ.get("SEG2EYE_PALLAS_VMEM_MB", "10")) * 1024 * 1024
     th = 1
     for cand in (64, 40, 32, 20, 16, 10, 8, 5, 4, 2, 1):
         if h % cand != 0:
             continue
-        est = ((cand + 2) * w_pad * NHIDDEN * actv.dtype.itemsize  # actv tile
-               + 2 * cand * w * c * x.dtype.itemsize               # x, out
-               + 6 * cand * w * c * 4)       # gamma/beta/norm f32 temporaries
+        est = (2 * (cand + 2) * w_pad * NHIDDEN * actv.dtype.itemsize  # band
+               + 4 * cand * w * c * x.dtype.itemsize          # x, out (db'd)
+               + 2 * cand * w * c * 4                         # gamma|beta acc
+               + 4 * cand * w * c * 4)              # f32 norm temporaries
         if est <= budget:
             th = cand
             break
+    th = int(os.environ.get("SEG2EYE_PALLAS_TH", th))
     grid = (n, h // th)
 
     kernel = functools.partial(_kernel, th=th, eps=eps)
+    # (dy, dx, k, gamma|beta co): gamma and beta share each tap's dot,
+    # riding the output lanes together
+    wcat = jnp.concatenate([wg, wb], axis=-1).astype(x.dtype)
+    bcat = jnp.concatenate([bg, bb], axis=-1).astype(jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -171,14 +191,16 @@ def _fused_forward(x, seg, style, mean, var, ws, bs, wg, bg, wb, bb,
                          memory_space=pltpu.VMEM),     # mean
             pl.BlockSpec((1, 1, c), lambda n, i: (n, 0, 0),
                          memory_space=pltpu.VMEM),     # var
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # wg
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # bg
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # wb
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # bb
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # wcat
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # bcat
         ],
         out_specs=pl.BlockSpec((1, th, w, c), lambda n, i: (n, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, w_pad, NHIDDEN), actv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -192,14 +214,23 @@ def _fused_forward(x, seg, style, mean, var, ws, bs, wg, bg, wb, bb,
       style[:, None, c:].astype(jnp.float32),
       mean[:, None, :].astype(jnp.float32),
       var[:, None, :].astype(jnp.float32),
-      wg.astype(x.dtype), bg.astype(jnp.float32),
-      wb.astype(x.dtype), bb.astype(jnp.float32))
+      wcat, bcat)
 
 
 def pallas_eligible(x_shape: Tuple[int, ...]) -> bool:
-    """Use the kernel where it pays: large spatial, moderate channels."""
+    """Measured dispatch window (v5e, bs16, crop 256; tools/bench_pallas.py).
+
+    Per-site microbenchmarks with loop-carried data dependence through BOTH
+    x and seg (so XLA cannot hoist the seg convs) show the fused kernel
+    beats XLA's conv emitter at the mid-resolution/high-channel sites
+    (80x64, C>=256: x1.02-1.10) and loses at very small spatial extents
+    (MXU underfill) and at the largest planes, where XLA's convolution
+    codegen reaches ~120 TF/s vs Mosaic's ~139 TF/s pure-dot ceiling minus
+    pipeline overheads (~96 TF/s sustained).  Dispatch only where measured
+    faster; the XLA path is numerically identical everywhere else.
+    """
     n, h, w, c = x_shape
-    return h * w >= 1024 and c <= 512
+    return 4096 <= h * w <= 8192 and c >= 256
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))

@@ -128,10 +128,13 @@ class Options:
     data_axis: int = 0                        # devices along the `data` mesh axis; 0 = all
     model_axis: int = 1                       # devices along the `model` mesh axis
     tp_min_channels: int = 256                # TP: shard conv kernels with >= this many out-channels
-    # Optional fused Pallas SPADE+Style path (ops/pallas/spade_style.py).
-    # Default OFF: measured on v5e r1, XLA's own fusion of the unfused math
-    # is faster end-to-end (72 vs 96 ms generator fwd at bs16); the kernel is
-    # kept correct+tested for future tuning (see PARITY.md).
+    # Fused Pallas SPADE+Style path (ops/pallas/spade_style.py), dispatched
+    # per-site through the MEASURED win window (pallas_eligible): the kernel
+    # beats XLA's conv emitter at the mid-resolution/high-channel sites in
+    # isolation (tools/bench_pallas.py) but the custom-VJP boundary costs
+    # more than those wins inside the full fused train step (217.6 vs
+    # 211.8 ms/step at bs16, v5e r2) — so the default stays OFF; see
+    # PARITY.md "Pallas status" for the complete measurement story.
     use_pallas: bool = False
     prefetch: int = 2                         # host->device prefetch depth
     eval_use_running_stats: bool = False      # reference never calls .eval(); parity=False

@@ -65,9 +65,13 @@ def test_kernel_gradients_match_reference():
 
 
 def test_eligibility():
-    assert pallas_eligible((1, 320, 256, 64))
-    assert pallas_eligible((1, 160, 128, 128))
+    # measured dispatch window (tools/bench_pallas.py, v5e): the kernel wins
+    # only at the mid-resolution/high-channel generator sites
+    assert pallas_eligible((16, 80, 64, 512))        # up_1 norm_0/norm_s
+    assert pallas_eligible((16, 80, 64, 256))        # up_1 norm_1
     assert not pallas_eligible((1, 10, 8, 1024))     # tiny spatial, huge C
+    assert not pallas_eligible((16, 320, 256, 64))   # XLA conv emitter wins
+    assert not pallas_eligible((16, 160, 128, 128))  # ditto
 
 
 def test_block_pallas_flag_same_params():
