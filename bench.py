@@ -23,6 +23,12 @@ import time
 
 from seg2eye_tpu.utils.platform import configure_from_env
 
+# persistent compile cache: first-ever compile of the fused step takes
+# ~10 min over the remote-TPU tunnel; cached runs start in seconds
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 configure_from_env()
 
 import jax                                               # noqa: E402

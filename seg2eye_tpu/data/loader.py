@@ -151,21 +151,33 @@ class DataLoader:
 def device_prefetch(iterator, put_fn, depth: int = 1):
     """Wrap a batch iterator so host->device transfer of the next batch
     overlaps the current step (the jax analogue of torch pinned-memory
-    prefetch)."""
-    import collections
-    buf = collections.deque()
-    it = iter(iterator)
-    try:
-        for _ in range(depth + 1):
-            buf.append(put_fn(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.popleft()
+    prefetch).  ``put_fn`` runs on a worker thread: even a *blocking*
+    device_put (e.g. a remote-TPU tunnel, where the transfer itself is the
+    bottleneck) overlaps the in-flight step instead of serializing with it.
+    Worker exceptions re-raise on the consumer (no silent swallowing)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    done = object()
+    err = []
+
+    def work():
         try:
-            buf.append(put_fn(next(it)))
-        except StopIteration:
-            pass
+            for item in iterator:
+                q.put(put_fn(item))
+        except BaseException as e:          # surfaced below, on the consumer
+            err.append(e)
+        finally:
+            q.put(done)
+
+    threading.Thread(target=work, daemon=True).start()
+    while True:
+        out = q.get()
+        if out is done:
+            if err:
+                raise err[0]
+            return
         yield out
 
 

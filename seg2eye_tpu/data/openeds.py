@@ -34,6 +34,11 @@ class OpenEDSDataset:
         self.keys = schema.split_keys(self.dataset_key)
         self._h5 = None
         self._style_refs = None
+        # deterministic-resize LRU (see transforms.ResizeCache): only the
+        # 'fixed' hot path caches; 0 MB disables
+        mb = getattr(opt, "host_cache_mb", 0)
+        self._cache = (transforms.ResizeCache(mb)
+                       if mb and opt.preprocess_mode == "fixed" else None)
 
         with h5py.File(self.root, "r") as f:
             grp = f[self.dataset_key]
@@ -115,7 +120,20 @@ class OpenEDSDataset:
                 # seq ranking indices are offset by the gen count
                 # (openeds_dataset.py:195-199)
                 sel = sel - n_images
-            images.append(grp[key][sel])
+            if self._cache is not None:
+                images.append(self._cache.get(
+                    (user, key, sel),
+                    lambda g=grp, k=key, s=sel: transforms.resize_for_fixed(
+                        np.asarray(g[k][s]), self.opt)))
+            else:
+                images.append(grp[key][sel])
+        if self._cache is not None:
+            if getattr(self.opt, "device_normalize", False):
+                return transforms.assemble_u8(images,
+                                              bool(params.get("flip")))
+            from seg2eye_tpu import native
+            return native.assemble_images(
+                images, [bool(params.get("flip"))] * len(images))
         return transforms.transform_images_batch(images, self.opt, params)
 
     # ------------------------------------------------------------------ #
@@ -140,8 +158,21 @@ class OpenEDSDataset:
         }
         if self.dataset_key != "test":
             target = np.asarray(grp["images_ss"][within])
-            item["target"] = transforms.transform_image(target, self.opt,
-                                                        params)
+            dev_norm = getattr(self.opt, "device_normalize", False)
+            if self._cache is not None:
+                resized = self._cache.get(
+                    (user, "images_ss", within),
+                    lambda t=target: transforms.resize_for_fixed(t, self.opt))
+                finish = (transforms.finish_image_u8 if dev_norm
+                          else transforms.finish_image)
+                item["target"] = finish(resized, params)
+            elif dev_norm:
+                out = transforms._apply_spatial(target, self.opt, params,
+                                                is_mask=False)
+                item["target"] = np.ascontiguousarray(out)[..., None]
+            else:
+                item["target"] = transforms.transform_image(target, self.opt,
+                                                            params)
             orig = target[:, ::-1] if params["flip"] else target
             item["target_original"] = \
                 np.ascontiguousarray(orig).astype(np.int32)[..., None]

@@ -17,11 +17,50 @@ Only the load-time resize runs on host (uint8, cheap); everything downstream
 """
 from __future__ import annotations
 
-from typing import Dict
+import collections
+from typing import Callable, Dict, Hashable, Optional
 
 import cv2
 import numpy as np
 from PIL import Image
+
+
+class ResizeCache:
+    """Byte-capped LRU cache of deterministic host-side work (H5 read +
+    resize), keyed by (user, dataset key, index).
+
+    Semantics-neutral: the cached value is the *pre-flip, pre-normalize*
+    resized uint8 image, and in 'fixed' mode the resize target is constant
+    for the run — so cached and uncached paths are bit-identical
+    (tests/test_data.py::test_resize_cache_identical).  Exists because TPU
+    training is host-input-bound on small hosts: the reference's answer was
+    8 DataLoader worker processes (options/base_options.py:51), ours is
+    thread prefetch + not redoing identical bicubic resizes every epoch.
+    """
+
+    def __init__(self, limit_mb: int):
+        self.limit = int(limit_mb) << 20
+        self.size = 0
+        self._d: "collections.OrderedDict[Hashable, np.ndarray]" = \
+            collections.OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key: Hashable, produce: Callable[[], np.ndarray]
+            ) -> np.ndarray:
+        v = self._d.get(key)
+        if v is not None:
+            self.hits += 1
+            self._d.move_to_end(key)
+            return v
+        self.misses += 1
+        v = produce()
+        self._d[key] = v
+        self.size += v.nbytes
+        while self.size > self.limit and self._d:
+            _, old = self._d.popitem(last=False)
+            self.size -= old.nbytes
+        return v
 
 
 def get_params(opt, rng: np.random.Generator,
@@ -74,6 +113,30 @@ def resize_fixed(img: np.ndarray, w: int, h: int,
     return _resize(img, w, h, is_mask)
 
 
+def resize_for_fixed(img: np.ndarray, opt) -> np.ndarray:
+    """The 'fixed'-mode image resize (W=crop, H=crop/aspect) — the unit the
+    ResizeCache stores (pre-flip, pre-normalize uint8)."""
+    return _resize(img, opt.image_width, opt.image_height, False)
+
+
+def finish_image(resized: np.ndarray, params: Dict) -> np.ndarray:
+    """flip + ToTensor/Normalize tail of transform_image, applied to an
+    (already resized) uint8 image."""
+    out = resized[:, ::-1] if params.get("flip") else resized
+    out = out.astype(np.float32) / 255.0
+    out = (out - 0.5) / 0.5
+    return np.ascontiguousarray(out)[..., None]
+
+
+def finish_image_u8(resized: np.ndarray, params: Dict) -> np.ndarray:
+    """flip only — uint8 device-transport path (opt.device_normalize): the
+    Normalize(0.5,0.5) runs in-graph (models/pix2pix.py preprocess) with the
+    exact host formula, so results are bit-identical while host->device
+    transfer shrinks 4x (f32 -> uint8)."""
+    out = resized[:, ::-1] if params.get("flip") else resized
+    return np.ascontiguousarray(out)[..., None]
+
+
 def _apply_spatial(img: np.ndarray, opt, params: Dict,
                    is_mask: bool) -> np.ndarray:
     """The spatial part of get_transform (base_dataset.py:50-80)."""
@@ -118,16 +181,32 @@ def transform_image(img: np.ndarray, opt, params: Dict) -> np.ndarray:
     return np.ascontiguousarray(out)[..., None]
 
 
+def assemble_u8(resized, flip: bool) -> np.ndarray:
+    """n resized uint8 (H,W) images -> (n,h,w,1) uint8 with shared flip —
+    the device-transport companion of native.assemble_images."""
+    if flip:
+        resized = [im[:, ::-1] for im in resized]
+    return np.ascontiguousarray(np.stack(resized))[..., None]
+
+
 def transform_images_batch(imgs, opt, params: Dict) -> np.ndarray:
-    """n uint8 (H,W) images -> (n,h,w,1) float32 [-1,1].  On the hot 'fixed'
-    path the normalize+flip+stack runs in one native pass
-    (seg2eye_tpu.native); other modes fall back to per-image transforms."""
+    """n uint8 (H,W) images -> (n,h,w,1) float32 [-1,1] (or uint8 with
+    opt.device_normalize).  On the hot 'fixed' path the normalize+flip+stack
+    runs in one native pass (seg2eye_tpu.native); other modes fall back to
+    per-image transforms."""
     if opt.preprocess_mode == "fixed" and imgs[0].dtype == np.uint8:
-        from seg2eye_tpu import native
         resized = [_resize(im, opt.image_width, opt.image_height, False)
                    for im in imgs]
+        if getattr(opt, "device_normalize", False):
+            return assemble_u8(resized, bool(params.get("flip")))
+        from seg2eye_tpu import native
         return native.assemble_images(
             resized, [bool(params.get("flip"))] * len(imgs))
+    if getattr(opt, "device_normalize", False):
+        # non-fixed modes: spatial transform only, stay uint8
+        return np.ascontiguousarray(np.stack(
+            [_apply_spatial(im, opt, params, is_mask=False)
+             for im in imgs]))[..., None]
     return np.stack([transform_image(im, opt, params) for im in imgs])
 
 

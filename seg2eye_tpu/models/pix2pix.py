@@ -108,12 +108,18 @@ class Pix2Pix:
     def preprocess(self, batch: Dict) -> Tuple[jax.Array, jax.Array,
                                                Optional[jax.Array]]:
         """one-hot the label map; cast to compute dtype
-        (pix2pix_model.py:138-160)."""
+        (pix2pix_model.py:138-160).  uint8 images (opt.device_normalize
+        transport) get the host Normalize(0.5,0.5) formula in-graph."""
+        def norm(x):
+            if x.dtype == jnp.uint8:
+                x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            return x.astype(self.dtype)
+
         seg = one_hot_label(batch["label"], self.opt.semantic_nc).astype(self.dtype)
-        style = batch["style_image"].astype(self.dtype)
+        style = norm(batch["style_image"])
         target = batch.get("target")
         if target is not None:
-            target = target.astype(self.dtype)
+            target = norm(target)
         return seg, style, target
 
     def encode_w(self, variables: Dict, style: jax.Array, train: bool

@@ -137,6 +137,15 @@ class Options:
     # PARITY.md "Pallas status" for the complete measurement story.
     use_pallas: bool = False
     prefetch: int = 2                         # host->device prefetch depth
+    # Host-side LRU cache (MB) of deterministic image resizes — identical
+    # outputs, skips redundant H5 read + PIL bicubic work across epochs/evals
+    # on the hot 'fixed' path (small TPU hosts are input-bound; see
+    # data/transforms.py ResizeCache). 0 disables.
+    host_cache_mb: int = 1024
+    # Ship images to the device as uint8 and run Normalize(0.5,0.5) in-graph
+    # with the exact host formula (bit-identical f32): 4x less host->device
+    # transfer + no host float conversion. Purely a transport optimization.
+    device_normalize: bool = True
     eval_use_running_stats: bool = False      # reference never calls .eval(); parity=False
     max_steps: int = 0                        # 0 = unlimited; handy for smoke runs
     profile_steps: int = 0                    # trace N steps with jax.profiler

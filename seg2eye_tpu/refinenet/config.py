@@ -72,6 +72,10 @@ class RefineNetConfig:
     input_height: int = 640
     max_steps: int = 0                          # 0 = full num_epochs
     prefetch: int = 2
+    # uint8 host->device image transport with in-graph normalize — 4x less
+    # transfer, bit-exact when sources are already native-size (dataset.py
+    # u8_transport_ok); f32 fallback otherwise
+    device_normalize: bool = True
 
     @property
     def learning_rate(self) -> float:

@@ -35,6 +35,17 @@ def colorize_segmap(segmap: np.ndarray) -> np.ndarray:
     return out
 
 
+def u8_transport_ok(cfg, *images) -> bool:
+    """uint8 device transport is bit-exact only when NO host resize is
+    needed (the cv2.INTER_AREA resample runs on f32 data otherwise); real
+    OpenEDS sources are already native 640x400, so this is the hot case.
+    The in-graph normalize (model.py) uses the identical x*(2/255)-1."""
+    th, tw = cfg.input_height, cfg.input_width
+    return (getattr(cfg, "device_normalize", False)
+            and all(im.dtype == np.uint8 and im.shape[:2] == (th, tw)
+                    for im in images))
+
+
 class RefineNetDataset:
     def __init__(self, cfg: RefineNetConfig, split: str,
                  pick1: bool = False):
@@ -124,11 +135,17 @@ class RefineNetDataset:
 
         x = colorize_segmap(x)
         rss = colorize_segmap(rss)
-        stacked = np.concatenate(
-            [self.preprocess_image(img) for img in (x, rim, rss)], axis=-1)
+        if u8_transport_ok(self.cfg, x, rim, rss):
+            stacked = np.stack([x, rim, rss], axis=-1)
+        else:
+            stacked = np.concatenate(
+                [self.preprocess_image(img) for img in (x, rim, rss)],
+                axis=-1)
         entry = {"input": stacked, "person_id": key, "fname": fname}
         if y is not None:
-            entry["target"] = self.preprocess_image(np.copy(y))
+            y = np.copy(y)
+            entry["target"] = (y[..., None] if u8_transport_ok(self.cfg, y)
+                               else self.preprocess_image(y))
         return entry
 
     def close(self):

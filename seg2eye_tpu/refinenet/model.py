@@ -49,6 +49,14 @@ def load_pretrained_backbone(variables: Dict, path: str) -> Dict:
     return {**variables, "params": params, "batch_stats": stats}
 
 
+def _norm_input(x: jax.Array) -> jax.Array:
+    """uint8 device-transport images -> [-1,1] f32, the exact host formula
+    (dataset.py preprocess_image: image * (2/255) - 1)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    return x
+
+
 def _apply(net, variables, x, train: bool, rng: Optional[jax.Array]):
     rngs = {"dropout": rng} if rng is not None else None
     if train:
@@ -80,7 +88,8 @@ class RefineNetModel:
 
     def forward(self, variables, batch: Dict, train: bool = False,
                 rng: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
-        x = batch["input"].astype(self.dtype)        # (B,H,W,3) in [-1,1]
+        # (B,H,W,3) in [-1,1] (or uint8 transport)
+        x = _norm_input(batch["input"]).astype(self.dtype)
         residual, variables = _apply(self.net, variables, x, train, rng)
         residual = residual.astype(jnp.float32)
         reference = x[..., 1:2].astype(jnp.float32)  # NN reference image
@@ -88,7 +97,7 @@ class RefineNetModel:
         out = {"input": x, "residual": residual, "prediction": y_pred}
         y_true = batch.get("target")
         if y_true is not None:
-            y_true = y_true.astype(jnp.float32)
+            y_true = _norm_input(y_true).astype(jnp.float32)
             out["groundtruth"] = y_true
             out["l1_loss"] = jnp.mean(jnp.abs(y_pred - y_true))
             h, w = y_true.shape[1], y_true.shape[2]
@@ -125,7 +134,8 @@ class SegNetModel:
 
     def forward(self, variables, batch: Dict, train: bool = False,
                 rng: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
-        img = batch["input"].astype(self.dtype)      # (B,H,W,1) in [-1,1]
+        # (B,H,W,1) in [-1,1] (or uint8 transport)
+        img = _norm_input(batch["input"]).astype(self.dtype)
         x = jnp.repeat(img, 3, axis=-1)              # 1ch -> 3ch (segnet:27-40)
         logits, variables = _apply(self.net, variables, x, train, rng)
         logits = logits.astype(jnp.float32)

@@ -42,6 +42,9 @@ class SegNetDataset:
         return self._h5
 
     def preprocess_image(self, image: np.ndarray) -> np.ndarray:
+        from seg2eye_tpu.refinenet.dataset import u8_transport_ok
+        if u8_transport_ok(self.cfg, image):
+            return np.ascontiguousarray(image)[..., None]
         image = image.astype(np.float32)
         image = cv2.resize(image, (self.cfg.input_width,
                                    self.cfg.input_height),
@@ -61,7 +64,11 @@ class SegNetDataset:
             y = cv2.resize(y, dsize=(self.cfg.input_width,
                                      self.cfg.input_height),
                            interpolation=cv2.INTER_AREA)
-            entry["target"] = y.astype(np.int32)
+            # model casts labels to int32 in-graph; uint8 transport is 4x
+            # smaller and value-identical (class ids 0..3)
+            entry["target"] = (y.astype(np.uint8)
+                               if getattr(self.cfg, "device_normalize", False)
+                               else y.astype(np.int32))
         return entry
 
 
@@ -99,6 +106,10 @@ class SegNetEvalDataset:
         hdf = self._open()
         key, within = self.idx_to_kv[idx]
         img = np.copy(hdf[self.split][key][self.image_key][within])
+        from seg2eye_tpu.refinenet.dataset import u8_transport_ok
+        if u8_transport_ok(self.cfg, img):
+            return {"input": np.ascontiguousarray(img)[..., None],
+                    "person_id": key}
         img = img.astype(np.float32)
         img = cv2.resize(img, (self.cfg.input_width, self.cfg.input_height),
                          interpolation=cv2.INTER_AREA)

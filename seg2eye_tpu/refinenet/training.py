@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from seg2eye_tpu.data.loader import DataLoader
+from seg2eye_tpu.data.loader import DataLoader, device_prefetch
 from seg2eye_tpu.refinenet.checkpoint_manager import CheckpointManager
 from seg2eye_tpu.refinenet.config import RefineNetConfig
 from seg2eye_tpu.refinenet.loggers import GoogleSheetLogger, Tensorboard
@@ -226,19 +226,29 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
         num_steps = min(num_steps, start_step + cfg.max_steps)
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
-    data_iter = iter(train_loader)
+
+    def host_batches():
+        """exactly the step budget, restarting epochs as needed"""
+        it = iter(train_loader)
+        for _ in range(start_step, num_steps):
+            try:
+                yield next(it)
+            except StopIteration:
+                it = iter(train_loader)
+                yield next(it)
+
+    # transfer of the next batch overlaps the in-flight step (worker thread;
+    # see data/loader.py device_prefetch)
+    prefetched = device_prefetch(host_batches(),
+                                 lambda b: (b, device_batch(b)), depth=1)
     t_last = time.time()
     step = start_step
     for step in range(start_step, num_steps):
-        try:
-            batch = next(data_iter)
-        except StopIteration:
-            data_iter = iter(train_loader)
-            batch = next(data_iter)
+        batch, db = next(prefetched)
         lr = learning_rate_schedule(cfg, steps_per_epoch, step)
         rng, sub = jax.random.split(rng)
         state, scalars, out = trainer.train_step(
-            state, device_batch(batch), jnp.asarray(lr, jnp.float32), sub)
+            state, db, jnp.asarray(lr, jnp.float32), sub)
 
         if step_callback is not None:
             step_callback(step, scalars, out, batch)

@@ -45,7 +45,21 @@ def test_getitem_shapes_and_ranges(h5_paths):
     assert set(np.unique(item["label"])) <= {0, 1, 2, 3}
     assert item["style_image"].shape == (2, 32, 32, 1)
     assert item["target"].shape == (32, 32, 1)
-    assert item["target"].min() >= -1 and item["target"].max() <= 1
+    # default transport is uint8 (opt.device_normalize); normalization to
+    # [-1,1] runs in-graph with the identical formula
+    assert item["target"].dtype == np.uint8
+    assert item["style_image"].dtype == np.uint8
+    f32 = OpenEDSDataset(opt_for(data, device_normalize=False),
+                         dataset_key="train"
+                         ).__getitem__(1, rng=np.random.default_rng(0))
+    assert f32["target"].dtype == np.float32
+    assert f32["target"].min() >= -1 and f32["target"].max() <= 1
+    np.testing.assert_allclose(
+        (item["target"].astype(np.float32) / 255.0 - 0.5) / 0.5,
+        f32["target"], atol=1e-6)
+    np.testing.assert_allclose(
+        (item["style_image"].astype(np.float32) / 255.0 - 0.5) / 0.5,
+        f32["style_image"], atol=1e-6)
     # target_original stays at native fixture res
     assert item["target_original"].shape == (64, 40, 1)
     assert item["user"] == "U001"
@@ -138,3 +152,30 @@ def test_validation_indices(h5_paths):
     data, _ = h5_paths
     ds = OpenEDSDataset(opt_for(data), dataset_key="train")
     assert ds.get_validation_indices() == [0, 3, 2, 5]
+
+
+def test_resize_cache_identical(h5_paths):
+    """The host ResizeCache is semantics-neutral: cached and uncached
+    datasets yield bit-identical items (incl. under flips), and repeat
+    epochs hit the cache."""
+    data, _ = h5_paths
+    on = OpenEDSDataset(opt_for(data, host_cache_mb=64), dataset_key="train")
+    off = OpenEDSDataset(opt_for(data, host_cache_mb=0), dataset_key="train")
+    assert on._cache is not None and off._cache is None
+    for epoch in range(2):
+        for i in range(len(on)):
+            a = on.__getitem__(i, rng=np.random.default_rng(100 + i))
+            b = off.__getitem__(i, rng=np.random.default_rng(100 + i))
+            for k in ("label", "style_image", "target", "target_original"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    assert on._cache.hits > 0
+    # eviction respects the byte cap
+    assert on._cache.size <= 64 << 20
+
+
+def test_resize_cache_disabled_outside_fixed(h5_paths):
+    data, _ = h5_paths
+    ds = OpenEDSDataset(opt_for(data, preprocess_mode="scale_width",
+                                load_size=32, host_cache_mb=64),
+                        dataset_key="train")
+    assert ds._cache is None

@@ -86,7 +86,18 @@ def test_refinenet_dataset_joins(env):
     item = ds.__getitem__(0, rng=np.random.default_rng(0))
     assert item["input"].shape == (64, 40, 3)
     assert item["target"].shape == (64, 40, 1)
-    assert -1 <= item["input"].min() and item["input"].max() <= 1
+    # native-size sources ride the uint8 device transport by default; the
+    # f32 path must be the identical normalize of the same bytes
+    assert item["input"].dtype == np.uint8
+    ds32 = RefineNetDataset(cfg.replace(device_normalize=False), "train")
+    item32 = ds32.__getitem__(0, rng=np.random.default_rng(0))
+    assert -1 <= item32["input"].min() and item32["input"].max() <= 1
+    np.testing.assert_allclose(
+        item["input"].astype(np.float32) * (2.0 / 255.0) - 1.0,
+        item32["input"], atol=1e-6)
+    np.testing.assert_allclose(
+        item["target"].astype(np.float32) * (2.0 / 255.0) - 1.0,
+        item32["target"], atol=1e-6)
     # pick1 deterministic: top-1 neighbor
     ds1 = RefineNetDataset(cfg, "validation", pick1=True)
     a = ds1.__getitem__(0, rng=np.random.default_rng(1))

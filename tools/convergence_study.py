@@ -79,8 +79,11 @@ def main() -> None:
                                       learnable=True)
     else:
         ensure_fixture(args.data)
+    # device_normalize pinned OFF: the r2 baseline curve ran f32 transport,
+    # so the reuse_fake comparison must differ ONLY in reuse_fake
     opt = Options(batchSize=args.bs, dataroot=args.data, name=name,
                   checkpoints_dir="runs/checkpoints",
+                  device_normalize=False,
                   reuse_fake=args.reuse_fake,
                   **({"compute_dtype": "bfloat16"} | extra)).finalize()
 
