@@ -174,8 +174,11 @@ class OpenEDSDataset:
                 item["target"] = transforms.transform_image(target, self.opt,
                                                             params)
             orig = target[:, ::-1] if params["flip"] else target
+            # uint8 transport (values are native 0..255 — exact); int32
+            # mirrors the reference's default collate otherwise
+            odt = np.uint8 if dev_norm else np.int32
             item["target_original"] = \
-                np.ascontiguousarray(orig).astype(np.int32)[..., None]
+                np.ascontiguousarray(orig).astype(odt)[..., None]
         return item
 
     # ------------------------------------------------------------------ #
