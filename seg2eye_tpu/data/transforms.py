@@ -43,23 +43,26 @@ class ResizeCache:
         self.size = 0
         self._d: "collections.OrderedDict[Hashable, np.ndarray]" = \
             collections.OrderedDict()
+        self._lock = __import__("threading").Lock()
         self.hits = 0
         self.misses = 0
 
     def get(self, key: Hashable, produce: Callable[[], np.ndarray]
             ) -> np.ndarray:
-        v = self._d.get(key)
-        if v is not None:
-            self.hits += 1
-            self._d.move_to_end(key)
-            return v
-        self.misses += 1
-        v = produce()
-        self._d[key] = v
-        self.size += v.nbytes
-        while self.size > self.limit and self._d:
-            _, old = self._d.popitem(last=False)
-            self.size -= old.nbytes
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self.hits += 1
+                self._d.move_to_end(key)
+                return v
+            self.misses += 1
+        v = produce()                  # produce outside the lock (slow I/O)
+        with self._lock:
+            self._d[key] = v
+            self.size += v.nbytes
+            while self.size > self.limit and self._d:
+                _, old = self._d.popitem(last=False)
+                self.size -= old.nbytes
         return v
 
 
