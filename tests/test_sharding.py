@@ -127,3 +127,40 @@ def test_tp_param_sharding_executes():
     out_sh = fn(v_sh, db["label"], db["style_image"])
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_dp_uint8_transport_matches_f32():
+    """The uint8 device-transport batch shards identically over the data
+    axis and the in-graph normalize yields the same losses as the f32
+    batch."""
+    opt = tiny_opt()
+    model = Pix2Pix(opt)
+    steps = StepFunctions(model, donate=False)
+    f32 = tiny_batch()
+    u8 = {
+        "label": f32["label"].astype(np.uint8),
+        "style_image": np.round(
+            (f32["style_image"] * 0.5 + 0.5) * 255.0).astype(np.uint8),
+        "target": np.round(
+            (f32["target"] * 0.5 + 0.5) * 255.0).astype(np.uint8),
+    }
+    # the f32 twin of the quantized uint8 batch (identical host formula)
+    f32q = {
+        "label": f32["label"],
+        "style_image": (u8["style_image"].astype(np.float32) / 255.0 - 0.5)
+        / 0.5,
+        "target": (u8["target"].astype(np.float32) / 255.0 - 0.5) / 0.5,
+    }
+    mesh = make_mesh(opt, data=4, model=1)
+    state0 = state_lib.create_state(model, jax.random.PRNGKey(0))
+    state_sh = replicate_state(state0, mesh)
+    _, losses_u8, fake_u8 = steps.train_step(state_sh, shard_batch(u8, mesh))
+    state_sh2 = replicate_state(state0, mesh)
+    _, losses_f32, fake_f32 = steps.train_step(state_sh2,
+                                               shard_batch(f32q, mesh))
+    for k in losses_f32:
+        np.testing.assert_allclose(
+            np.mean(np.asarray(losses_u8[k])),
+            np.mean(np.asarray(losses_f32[k])), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fake_u8), np.asarray(fake_f32),
+                               rtol=2e-3, atol=2e-4)
