@@ -77,6 +77,8 @@ def main() -> None:
     ap.add_argument("--data", default="runs/convergence_data.h5")
     ap.add_argument("--legacy_only", action="store_true")
     ap.add_argument("--default_only", action="store_true")
+    ap.add_argument("--reuse_fake", action="store_true",
+                    help="bench the recommended fast config")
     args = ap.parse_args()
 
     if not os.path.exists(args.data):
@@ -85,7 +87,7 @@ def main() -> None:
             n_ss=24, n_gen=8, n_seq=4, seed=0, learnable=True)
 
     base = dict(batchSize=args.bs, dataroot=args.data,
-                compute_dtype="bfloat16")
+                compute_dtype="bfloat16", reuse_fake=args.reuse_fake)
     if not args.default_only:
         run("legacy", Options(**base, device_normalize=False,
                               host_cache_mb=0).finalize(), args.steps)
