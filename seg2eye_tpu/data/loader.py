@@ -160,25 +160,46 @@ def device_prefetch(iterator, put_fn, depth: int = 1):
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     done = object()
+    stop = threading.Event()
     err = []
+
+    def _put(item) -> bool:
+        """blocking put that aborts when the consumer abandoned us"""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def work():
         try:
             for item in iterator:
-                q.put(put_fn(item))
+                if stop.is_set() or not _put(put_fn(item)):
+                    return
         except BaseException as e:          # surfaced below, on the consumer
             err.append(e)
         finally:
-            q.put(done)
+            _put(done)
 
     threading.Thread(target=work, daemon=True).start()
-    while True:
-        out = q.get()
-        if out is done:
-            if err:
-                raise err[0]
-            return
-        yield out
+    try:
+        while True:
+            out = q.get()
+            if out is done:
+                if err:
+                    raise err[0]
+                return
+            yield out
+    finally:
+        # consumer finished or abandoned mid-iteration: release the worker
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def create_dataloader(opt, dataset_key: Optional[str] = None) -> DataLoader:

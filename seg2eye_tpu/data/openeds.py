@@ -167,8 +167,7 @@ class OpenEDSDataset:
                           else transforms.finish_image)
                 item["target"] = finish(resized, params)
             elif dev_norm:
-                out = transforms._apply_spatial(target, self.opt, params,
-                                                is_mask=False)
+                out = transforms.spatial_image(target, self.opt, params)
                 item["target"] = np.ascontiguousarray(out)[..., None]
             else:
                 item["target"] = transforms.transform_image(target, self.opt,

@@ -18,7 +18,8 @@ Only the load-time resize runs on host (uint8, cheap); everything downstream
 from __future__ import annotations
 
 import collections
-from typing import Callable, Dict, Hashable, Optional
+import threading
+from typing import Callable, Dict, Hashable
 
 import cv2
 import numpy as np
@@ -43,7 +44,7 @@ class ResizeCache:
         self.size = 0
         self._d: "collections.OrderedDict[Hashable, np.ndarray]" = \
             collections.OrderedDict()
-        self._lock = __import__("threading").Lock()
+        self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
 
@@ -140,6 +141,12 @@ def finish_image_u8(resized: np.ndarray, params: Dict) -> np.ndarray:
     return np.ascontiguousarray(out)[..., None]
 
 
+def spatial_image(img: np.ndarray, opt, params: Dict) -> np.ndarray:
+    """Public spatial transform for images (resize/crop/flip, uint8 out) —
+    the device-transport path applies normalization in-graph instead."""
+    return _apply_spatial(img, opt, params, is_mask=False)
+
+
 def _apply_spatial(img: np.ndarray, opt, params: Dict,
                    is_mask: bool) -> np.ndarray:
     """The spatial part of get_transform (base_dataset.py:50-80)."""
@@ -208,8 +215,7 @@ def transform_images_batch(imgs, opt, params: Dict) -> np.ndarray:
     if getattr(opt, "device_normalize", False):
         # non-fixed modes: spatial transform only, stay uint8
         return np.ascontiguousarray(np.stack(
-            [_apply_spatial(im, opt, params, is_mask=False)
-             for im in imgs]))[..., None]
+            [spatial_image(im, opt, params) for im in imgs]))[..., None]
     return np.stack([transform_image(im, opt, params) for im in imgs])
 
 

@@ -14,6 +14,7 @@ import h5py
 import numpy as np
 
 from seg2eye_tpu.refinenet.config import RefineNetConfig
+from seg2eye_tpu.refinenet.dataset import u8_transport_ok
 
 
 class SegNetDataset:
@@ -42,7 +43,6 @@ class SegNetDataset:
         return self._h5
 
     def preprocess_image(self, image: np.ndarray) -> np.ndarray:
-        from seg2eye_tpu.refinenet.dataset import u8_transport_ok
         if u8_transport_ok(self.cfg, image):
             return np.ascontiguousarray(image)[..., None]
         image = image.astype(np.float32)
@@ -106,7 +106,6 @@ class SegNetEvalDataset:
         hdf = self._open()
         key, within = self.idx_to_kv[idx]
         img = np.copy(hdf[self.split][key][self.image_key][within])
-        from seg2eye_tpu.refinenet.dataset import u8_transport_ok
         if u8_transport_ok(self.cfg, img):
             return {"input": np.ascontiguousarray(img)[..., None],
                     "person_id": key}
