@@ -28,6 +28,26 @@ def test_sidebyside_panel_shape():
         assert panel.min() >= -1 and panel.max() <= 1
 
 
+def test_sidebyside_uint8_transport_batches():
+    """The loader's default uint8 transport feeds the same panels: range
+    sniffing maps [0,255] uint8 and [-1,1] f32 to the same geometry."""
+    n, h, w = 2, 32, 32
+    rng = np.random.default_rng(0)
+    data = {
+        "style_image": rng.integers(0, 256, (n, 4, h, w, 1)).astype(np.uint8),
+        "label": rng.integers(0, 4, (n, h, w)).astype(np.uint8),
+        "target": rng.integers(0, 256, (n, h, w, 1)).astype(np.uint8),
+        "fake": rng.uniform(-1, 1, (n, h, w, 1)).astype(np.float32),
+        "user": ["U001", "U002"],
+        "filename": ["f1", "f2"],
+    }
+    vis = visualize_sidebyside(data, error_list=np.array([0.1, 0.2]))
+    assert len(vis) == 2
+    for panel in vis.values():
+        assert panel.shape == (1, 380, 1000)
+        assert panel.min() >= -1 and panel.max() <= 1
+
+
 def test_style_grid_pads_missing_refs():
     style = np.random.default_rng(0).uniform(-1, 1, (2, 16, 16, 1))
     grid = style_grid(style.astype(np.float32), w=64, h=64)
