@@ -66,6 +66,9 @@ def main() -> None:
     ap.add_argument("--name", default=None)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config for CPU smoke-testing this tool")
+    ap.add_argument("--device_normalize", action="store_true",
+                    help="run with the production uint8 transport instead "
+                         "of the pinned f32 baseline transport")
     args = ap.parse_args()
 
     name = args.name or ("conv_reuse" if args.reuse_fake else "conv_base")
@@ -79,11 +82,11 @@ def main() -> None:
                                       learnable=True)
     else:
         ensure_fixture(args.data)
-    # device_normalize pinned OFF: the r2 baseline curve ran f32 transport,
-    # so the reuse_fake comparison must differ ONLY in reuse_fake
+    # device_normalize pinned OFF by default: the r2 baseline curve ran f32
+    # transport, so the reuse_fake comparison must differ ONLY in reuse_fake
     opt = Options(batchSize=args.bs, dataroot=args.data, name=name,
                   checkpoints_dir="runs/checkpoints",
-                  device_normalize=False,
+                  device_normalize=args.device_normalize,
                   reuse_fake=args.reuse_fake,
                   **({"compute_dtype": "bfloat16"} | extra)).finalize()
 
