@@ -104,3 +104,25 @@ def test_device_prefetch_order():
     seen = [b["idx"][:, 0].tolist()
             for b in device_prefetch(dl, lambda b: b, depth=2)]
     assert seen == [[0, 1], [2, 3], [4, 5]]
+
+
+def test_device_prefetch_abandonment():
+    """Breaking out of a device_prefetch consumer mid-iteration must not
+    deadlock and must release the worker thread (loader.py device_prefetch
+    abandonment path)."""
+    import threading
+    import time
+
+    before = threading.active_count()
+    gen = device_prefetch(iter(range(50)), lambda x: x, depth=2)
+    seen = []
+    for x in gen:
+        seen.append(x)
+        if len(seen) == 4:
+            break
+    gen.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert seen == [0, 1, 2, 3]
+    assert threading.active_count() <= before
