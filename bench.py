@@ -8,7 +8,8 @@ Headline semantics: `--reuse_fake` throughput (D trains on the G-step's fake
 instead of regenerating with the just-updated G params).  Promotion is
 evidence-backed: matched 1500-step convergence studies on the learnable
 synthetic set show identical validation-error trajectories with and without
-the flag (runs/convergence_{baseline,reuse_fake}.jsonl; BASELINE.md r2).
+the flag (evidence/convergence_baseline.jsonl and
+evidence/convergence_reuse_fake.jsonl; BASELINE.md r2).
 The exact-reference-semantics number is reported alongside
 (`ref_semantics_images_per_sec`); training still defaults to reference
 semantics (PARITY.md "Documented deviations").

@@ -59,6 +59,10 @@ class ResizeCache:
             self.misses += 1
         v = produce()                  # produce outside the lock (slow I/O)
         with self._lock:
+            racer = self._d.get(key)
+            if racer is not None:      # another thread inserted meanwhile;
+                self._d.move_to_end(key)  # keep theirs, don't double-count
+                return racer
             self._d[key] = v
             self.size += v.nbytes
             while self.size > self.limit and self._d:
@@ -212,10 +216,12 @@ def transform_images_batch(imgs, opt, params: Dict) -> np.ndarray:
         from seg2eye_tpu import native
         return native.assemble_images(
             resized, [bool(params.get("flip"))] * len(imgs))
-    if getattr(opt, "device_normalize", False):
+    if getattr(opt, "device_normalize", False) and imgs[0].dtype == np.uint8:
         # non-fixed modes: spatial transform only, stay uint8
         return np.ascontiguousarray(np.stack(
             [spatial_image(im, opt, params) for im in imgs]))[..., None]
+    # non-uint8 sources can't ride the uint8 device-transport path (the
+    # in-graph normalize triggers on dtype); do the full host normalize.
     return np.stack([transform_image(im, opt, params) for im in imgs])
 
 

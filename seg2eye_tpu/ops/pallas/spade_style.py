@@ -169,6 +169,11 @@ def _fused_forward(x, seg, style, mean, var, ws, bs, wg, bg, wb, bb,
             th = cand
             break
     th = int(os.environ.get("SEG2EYE_PALLAS_TH", th))
+    if th < 1 or h % th != 0:
+        raise ValueError(
+            f"SEG2EYE_PALLAS_TH={th} must be >=1 and divide H={h}; a "
+            f"non-dividing tile height would silently skip the bottom "
+            f"{h % th} rows")
     grid = (n, h // th)
 
     kernel = functools.partial(_kernel, th=th, eps=eps)

@@ -25,22 +25,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(opt=None, data: Optional[int] = None,
-              model: Optional[int] = None) -> Optional[Mesh]:
-    """Build the ('data','model') mesh.  data=0/None -> all devices on data."""
+              model: Optional[int] = None,
+              allow_uneven: bool = False) -> Optional[Mesh]:
+    """Build the ('data','model') mesh.  data=0/None -> all devices on data.
+
+    Batch size must divide an *explicitly requested* data axis, matching the
+    reference's hard assert on user-specified gpu_ids
+    (options/base_options.py:170-172) — a silent shrink there would degrade
+    to partial replication at scale.  When the data axis was auto-defaulted
+    (data_axis=0 -> all devices), we shrink to the largest divisor with a
+    loud warning instead, since the user never asked for that degree.
+    ``allow_uneven=True`` forces the shrink path for an explicit axis (tests).
+    """
     import math
     devices = jax.devices()
     n = len(devices)
+    explicit = data is not None
     if opt is not None:
-        data = data if data is not None else (opt.data_axis or 0)
+        if data is None and opt.data_axis:
+            data, explicit = opt.data_axis, True
         model = model if model is not None else opt.model_axis
     model = model or 1
     data = data or (n // model)
     if opt is not None and opt.batchSize % data != 0:
-        # reference asserts batch divisibility (base_options.py:170-172);
-        # we degrade to the largest divisor instead of crashing
+        if explicit and not allow_uneven:
+            raise ValueError(
+                f"batchSize {opt.batchSize} is not divisible by the "
+                f"requested data mesh axis ({data}); the reference asserts "
+                f"this (base_options.py:170-172).  Pick batchSize as a "
+                f"multiple of the data-parallel degree, or pass "
+                f"allow_uneven=True to shrink the data axis (tests only).")
         data = math.gcd(opt.batchSize, data)
-        print(f"[mesh] batchSize {opt.batchSize} not divisible by data axis; "
-              f"using data={data}")
+        print(f"[mesh] WARNING: batchSize {opt.batchSize} not divisible by "
+              f"the data axis; degrading to data={data} "
+              f"(devices beyond data*model={data * model} stay idle)")
     if data * model > n:
         raise ValueError(f"mesh {data}x{model} needs {data * model} devices, "
                          f"have {n}")

@@ -92,12 +92,21 @@ class Trainer:
         self.tx = make_optimizer(cfg, momentum=momentum)
         self.train_step = jax.jit(self._train_step)
         self.eval_step = jax.jit(self._eval_step)
+        # the variables eval helpers read; set by init_state and kept fresh
+        # by update_variables so test_model_on_all works standalone
+        self.current_variables: Optional[Dict] = None
 
     def init_state(self, rng: jax.Array) -> Dict:
         variables = self.model.init(rng)
+        self.current_variables = variables
         return {"variables": variables,
                 "opt": self.tx.init(variables["params"]),
                 "step": jnp.zeros((), jnp.int32)}
+
+    def update_variables(self, state: Dict) -> None:
+        """Point eval helpers at ``state``'s variables (cheap: pytree of
+        device-array references, no transfer)."""
+        self.current_variables = state["variables"]
 
     def _train_step(self, state: Dict, batch: Dict, lr: jax.Array,
                     rng: jax.Array):
@@ -219,6 +228,7 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
         if step0 is not None:
             start_step = step0
             logger.info("Resumed from step %d", start_step)
+        trainer.update_variables(state)
 
     steps_per_epoch = max(1, len(train_loader.dataset) // cfg.batch_size)
     num_steps = int(cfg.num_epochs * steps_per_epoch)
@@ -249,6 +259,7 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
         rng, sub = jax.random.split(rng)
         state, scalars, out = trainer.train_step(
             state, db, jnp.asarray(lr, jnp.float32), sub)
+        trainer.update_variables(state)
 
         if step_callback is not None:
             step_callback(step, scalars, out, batch)
@@ -274,7 +285,6 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
             do_visualizations(out, tensorboard, step + 1)
 
         if step % cfg.test_every_n_steps == cfg.test_every_n_steps - 1:
-            trainer.current_variables = state["variables"]
             results = test_model_on_all(trainer, test_data, step + 1,
                                         tensorboard)
             row = {"Step": step + 1}
@@ -285,7 +295,6 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
             ckpt_mgr.save_at_step(step + 1, state)
 
     ckpt_mgr.save_at_step(step + 1, state)
-    trainer.current_variables = state["variables"]
     final = test_model_on_all(trainer, test_data, step + 1, tensorboard,
                               log_key_prefix="final_test")
     gsheet.update_or_append_row(

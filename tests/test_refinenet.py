@@ -190,6 +190,25 @@ def test_test_split_subsampling(env):
     assert subsample(ds, 0, seed=0) is ds
 
 
+def test_test_model_on_all_standalone(env):
+    """test_model_on_all works right after init_state — no attribute
+    injection by main_loop needed (round-2 verdict: current_variables was
+    only ever assigned at main_loop call sites)."""
+    from seg2eye_tpu.refinenet.training import test_model_on_all
+    d, cfg = env
+    model = RefineNetModel(cfg)
+    trainer = Trainer(model, cfg, loss_key="eds_loss")
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    loader = DataLoader(RefineNetDataset(cfg, "validation", pick1=True),
+                        batch_size=2, shuffle=False, drop_last=False,
+                        prefetch=0)
+    results = test_model_on_all(trainer, {"val": loader}, step=0)
+    assert np.isfinite(results["val"]["eds_loss"])
+    # update_variables points the eval helpers at a newer state
+    trainer.update_variables(state)
+    assert trainer.current_variables is state["variables"]
+
+
 class _RecordingTensorboard:
     def __init__(self):
         self.images = []

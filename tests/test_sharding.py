@@ -34,8 +34,12 @@ def tiny_batch(bs=4, seed=0):
 def test_mesh_shapes():
     mesh = make_mesh(tiny_opt(), data=4, model=2)
     assert mesh.shape == {"data": 4, "model": 2}
-    # batch divisibility degradation
-    mesh2 = make_mesh(tiny_opt(batchSize=3), data=8, model=1)
+    # batch non-divisibility is a hard error (reference
+    # base_options.py:170-172) unless explicitly allowed
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(tiny_opt(batchSize=3), data=8, model=1)
+    mesh2 = make_mesh(tiny_opt(batchSize=3), data=8, model=1,
+                      allow_uneven=True)
     assert mesh2.shape["data"] in (1, 3)
 
 
