@@ -129,8 +129,18 @@ class ResNetBackbone(nn.Module):
         return x, low_level
 
 
+def _relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0), 6)
+
+
 class InvertedResidual(nn.Module):
-    """MobileNetV2 block with dilation (backbone/mobilenet.py)."""
+    """MobileNetV2 block with dilation (backbone/mobilenet.py:25-67).
+
+    Reference quirk reproduced exactly: ``fixed_padding`` is applied to the
+    BLOCK INPUT (mobilenet.py:61), so the padded border passes through the
+    1x1 expand conv + BN (where it becomes NONZERO: relu6(beta - gamma*mean/
+    sqrt(var))) before the padding-free depthwise conv consumes it — padding
+    inside the depthwise conv with zeros instead is numerically different."""
     features: int
     stride: int = 1
     expand: int = 6
@@ -141,19 +151,19 @@ class InvertedResidual(nn.Module):
         in_ch = x.shape[-1]
         hidden = in_ch * self.expand
         use_res = self.stride == 1 and in_ch == self.features
-        out = x
+        d = self.dilation
+        out = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))   # fixed_padding
         if self.expand != 1:
-            out = ConvBN(hidden, 1, name="expand")(out, train)
-            out = jnp.minimum(jnp.maximum(out, 0), 6)  # relu6
-        pad = self.dilation
+            out = ConvBN(hidden, 1, relu=False, name="expand")(out, train)
+            out = _relu6(out)
         out = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
-                      padding=((pad, pad), (pad, pad)),
+                      padding=((0, 0), (0, 0)),
                       kernel_dilation=(self.dilation, self.dilation),
                       feature_group_count=hidden, use_bias=False,
                       kernel_init=kaiming_init("fan_out"), name="dw")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=jnp.float32, name="dw_bn")(out)
-        out = jnp.minimum(jnp.maximum(out, 0), 6)
+        out = _relu6(out)
         out = ConvBN(self.features, 1, relu=False, name="project")(out, train)
         return x + out if use_res else out
 
@@ -163,23 +173,25 @@ class MobileNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cfg = [  # t, c, n, s  (MobileNetV2 table)
+        cfg = [  # t, c, n, s  (MobileNetV2 table, mobilenet.py:76-85)
             (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
             (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
-        x = ConvBN(32, 3, stride=2, name="stem")(x, train)
-        current_stride, dilation = 2, 1
+        x = ConvBN(32, 3, stride=2, relu=False, name="stem")(x, train)
+        x = _relu6(x)                                  # conv_bn ReLU6 stem
+        # dilation is fixed PER STAGE with a pre-multiplied rate
+        # (mobilenet.py:92-99): once current_stride hits output_stride, a
+        # stage's blocks all share dilation=rate, and rate *= s afterwards
+        current_stride, rate = 2, 1
         low_level = None
         for bi, (t, c, n, s) in enumerate(cfg):
+            if current_stride == self.output_stride:
+                stride0, dilation = 1, rate
+                rate *= s
+            else:
+                stride0, dilation = s, 1
+                current_stride *= s
             for i in range(n):
-                stride = s if i == 0 else 1
-                if current_stride >= self.output_stride and stride == 2:
-                    stride, d = 1, dilation
-                    dilation *= 2
-                else:
-                    d = dilation
-                if stride == 2:
-                    current_stride *= 2
-                x = InvertedResidual(c, stride, t, d,
+                x = InvertedResidual(c, stride0 if i == 0 else 1, t, dilation,
                                      name=f"block{bi}_{i}")(x, train)
             if bi == 1:
                 low_level = x  # 24ch (decoder.py:14-15)

@@ -97,6 +97,27 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, repl)
 
 
+def place_state(state, shardings):
+    """Lay out a (host-identical) state pytree per a sharding pytree.
+
+    Single-process: plain ``device_put``.  Multi-process: ``device_put`` onto
+    a non-fully-addressable sharding routes through multihost assert_equal —
+    a full cross-host parameter allgather (one tiny pjit PER LEAF) just to
+    re-verify values every process already holds.  Each process instead
+    fills its addressable shards directly with
+    ``jax.make_array_from_callback`` (every process computed the same state
+    from the same seed, the invariant the train loop maintains anyway)."""
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+
+    def place(leaf, sharding):
+        v = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            v.shape, sharding, lambda idx: v[idx])
+
+    return jax.tree_util.tree_map(place, state, shardings)
+
+
 def param_shardings(variables, mesh: Mesh, min_channels: int = 256):
     """Optional tensor-parallel layout: shard conv kernels' output-channel
     dim over 'model' when it is both large and divisible; everything else

@@ -25,7 +25,7 @@ from seg2eye_tpu.utils.files import copy_src
 from seg2eye_tpu.utils.iter_counter import IterationCounter
 from seg2eye_tpu.utils.visualizer import Visualizer
 from seg2eye_tpu.parallel.sharding import (make_mesh, param_shardings,
-                                           shard_batch)
+                                           place_state, shard_batch)
 
 
 def device_batch(batch: Dict, mesh=None) -> Dict:
@@ -36,8 +36,14 @@ def device_batch(batch: Dict, mesh=None) -> Dict:
     return {k: jnp.asarray(v) for k, v in out.items()}
 
 
-def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
-    """Returns a summary dict (final losses, steps run)."""
+def train(opt: Options, max_steps: Optional[int] = None,
+          step_hook=None) -> Dict:
+    """Returns a summary dict (final losses, steps run).
+
+    ``step_hook(step, losses)`` (optional) fires after every optimizer step
+    with the 1-based step index and the device loss dict — full-precision
+    observability for convergence/equivalence studies (the RefineNet loop's
+    ``step_callback`` counterpart)."""
     copy_src(".", opt.expr_dir)
 
     dataloader = create_dataloader(opt)
@@ -54,7 +60,7 @@ def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
         # explicit placement: DP-replicated parameters, or TP-sharded conv
         # kernels over 'model' when opt.model_axis > 1 (GSPMD inserts the
         # collectives); batches are sharded over 'data' in device_batch
-        state = jax.device_put(
+        state = place_state(
             state, param_shardings(state, mesh,
                                    min_channels=opt.tp_min_channels))
 
@@ -93,6 +99,8 @@ def train(opt: Options, max_steps: Optional[int] = None) -> Dict:
                     losses.update(d_losses)
                 last_losses = losses
                 n_iters += 1
+                if step_hook is not None:
+                    step_hook(n_iters, losses)
 
                 # jax.profiler tracing window (SURVEY §5.1: the reference only
                 # had wall-clock time_per_iter; we add real device traces)

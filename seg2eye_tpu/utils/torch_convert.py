@@ -198,12 +198,149 @@ def convert_resnet_backbone(sd: Dict[str, np.ndarray], template) -> Dict:
     return v
 
 
-def convert_deeplab(sd: Dict[str, np.ndarray], template) -> Dict:
-    """Vendored-DeepLab(resnet) state_dict (e.g. a trained RefineNet/segnet
-    checkpoint, refinenet/core/checkpoint_manager.py) -> DeepLab variables."""
+def _sepconv(sd, fp, fbs, torch_base: str):
+    """SeparableConv2d (xception.py:17-31): conv1 (depthwise) -> bn ->
+    pointwise."""
+    fp["depthwise"]["kernel"] = _conv(
+        sd[f"{torch_base}.conv1.weight"]).astype(np.float32)
+    _set_bn(sd, fp, fbs, "bn", f"{torch_base}.bn")
+    fp["pointwise"]["kernel"] = _conv(
+        sd[f"{torch_base}.pointwise.weight"]).astype(np.float32)
+
+
+def _convert_xception_into(sd, p, bs, prefix: str = ""):
+    """AlignedXception (xception.py:94-232).  Every Block's rep Sequential
+    holds 3 (relu, SeparableConv2d, BatchNorm) units — blocks 1/2 drop the
+    leading relu (start_with_relu=False, xception.py:75-76), shifting the
+    module indices by one."""
+    def k(name):
+        return prefix + name
+
+    p["conv1"]["kernel"] = _conv(sd[k("conv1.weight")]).astype(np.float32)
+    _set_bn(sd, p, bs, "bn1", k("bn1"))
+    p["conv2"]["kernel"] = _conv(sd[k("conv2.weight")]).astype(np.float32)
+    _set_bn(sd, p, bs, "bn2", k("bn2"))
+
+    for b in range(1, 21):
+        fb = f"block{b}"
+        start_with_relu = b not in (1, 2)
+        off = 0 if start_with_relu else -1
+        for u in range(3):
+            si = 3 * u + 1 + off
+            _sepconv(sd, p[fb][f"sep{u}"], bs[fb][f"sep{u}"],
+                     k(f"{fb}.rep.{si}"))
+            _set_bn(sd, p[fb], bs[fb], f"sepbn{u}", k(f"{fb}.rep.{si + 1}"))
+        if k(f"{fb}.skip.weight") in sd:
+            p[fb]["skip"]["kernel"] = _conv(
+                sd[k(f"{fb}.skip.weight")]).astype(np.float32)
+            _set_bn(sd, p[fb], bs[fb], "skipbn", k(f"{fb}.skipbn"))
+
+    for i in (3, 4, 5):
+        _sepconv(sd, p[f"conv{i}"], bs[f"conv{i}"], k(f"conv{i}"))
+        _set_bn(sd, p, bs, f"bn{i}", k(f"bn{i}"))
+
+
+def convert_xception_backbone(sd: Dict[str, np.ndarray], template) -> Dict:
+    v = _to_mutable(template)
+    _convert_xception_into(sd, v["params"], v["batch_stats"])
+    return v
+
+
+def _convert_drn_into(sd, p, bs, prefix: str = ""):
+    """DRN-D-54 (drn.py:102-234): layer0 stem + conv layers 1/2/7/8
+    (Sequential [Conv, BN, ReLU] triplets) + Bottleneck layers 3-6."""
+    def k(name):
+        return prefix + name
+
+    p["layer0_conv"]["kernel"] = _conv(
+        sd[k("layer0.0.weight")]).astype(np.float32)
+    _set_bn(sd, p, bs, "layer0_bn", k("layer0.1"))
+    for lname in ("layer1", "layer2", "layer7", "layer8"):
+        i = 0
+        while f"{lname}_conv{i}" in p:
+            p[f"{lname}_conv{i}"]["kernel"] = _conv(
+                sd[k(f"{lname}.{3 * i}.weight")]).astype(np.float32)
+            _set_bn(sd, p, bs, f"{lname}_bn{i}", k(f"{lname}.{3 * i + 1}"))
+            i += 1
+    for lname, blocks in (("layer3", 3), ("layer4", 4), ("layer5", 6),
+                          ("layer6", 3)):
+        for i in range(blocks):
+            fb, tb = f"{lname}_{i}", k(f"{lname}.{i}")
+            if fb not in p:
+                continue
+            for j in (1, 2, 3):
+                p[fb][f"conv{j}"]["kernel"] = _conv(
+                    sd[f"{tb}.conv{j}.weight"]).astype(np.float32)
+                _set_bn(sd, p[fb], bs[fb], f"bn{j}", f"{tb}.bn{j}")
+            if f"{tb}.downsample.0.weight" in sd and "down" in p[fb]:
+                p[fb]["down"]["kernel"] = _conv(
+                    sd[f"{tb}.downsample.0.weight"]).astype(np.float32)
+                _set_bn(sd, p[fb], bs[fb], "down_bn", f"{tb}.downsample.1")
+
+
+def convert_drn_backbone(sd: Dict[str, np.ndarray], template) -> Dict:
+    v = _to_mutable(template)
+    _convert_drn_into(sd, v["params"], v["batch_stats"])
+    return v
+
+
+def _convert_mobilenet_into(sd, p, bs, prefix: str = ""):
+    """MobileNetV2 (mobilenet.py:69-131): features.0 = conv_bn stem,
+    features.1..17 = InvertedResidual whose .conv Sequential is
+    [dw, BN, ReLU6, pw, BN] when expand_ratio==1 (features.1 only) else
+    [pw, BN, ReLU6, dw, BN, ReLU6, pw, BN]."""
+    def k(name):
+        return prefix + name
+
+    p["stem"]["conv"]["kernel"] = _conv(
+        sd[k("features.0.0.weight")]).astype(np.float32)
+    _set_bn(sd, p["stem"], bs["stem"], "bn", k("features.0.1"))
+    cfg = [(1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1)]  # t, n
+    fi = 1
+    for bi, (t, n) in enumerate(cfg):
+        for i in range(n):
+            fb, tb = f"block{bi}_{i}", k(f"features.{fi}")
+            fi += 1
+            if t != 1:
+                p[fb]["expand"]["conv"]["kernel"] = _conv(
+                    sd[f"{tb}.conv.0.weight"]).astype(np.float32)
+                _set_bn(sd, p[fb]["expand"], bs[fb]["expand"], "bn",
+                        f"{tb}.conv.1")
+                dwi = 3
+            else:
+                dwi = 0
+            p[fb]["dw"]["kernel"] = _conv(
+                sd[f"{tb}.conv.{dwi}.weight"]).astype(np.float32)
+            _set_bn(sd, p[fb], bs[fb], "dw_bn", f"{tb}.conv.{dwi + 1}")
+            p[fb]["project"]["conv"]["kernel"] = _conv(
+                sd[f"{tb}.conv.{dwi + 3}.weight"]).astype(np.float32)
+            _set_bn(sd, p[fb]["project"], bs[fb]["project"], "bn",
+                    f"{tb}.conv.{dwi + 4}")
+
+
+def convert_mobilenet_backbone(sd: Dict[str, np.ndarray], template) -> Dict:
+    v = _to_mutable(template)
+    _convert_mobilenet_into(sd, v["params"], v["batch_stats"])
+    return v
+
+
+_BACKBONE_CONVERTERS = {
+    "resnet": _convert_resnet_into,
+    "xception": _convert_xception_into,
+    "drn": _convert_drn_into,
+    "mobilenet": _convert_mobilenet_into,
+}
+
+
+def convert_deeplab(sd: Dict[str, np.ndarray], template,
+                    backbone: str = "resnet") -> Dict:
+    """Vendored-DeepLab state_dict (e.g. a trained RefineNet/segnet
+    checkpoint, refinenet/core/checkpoint_manager.py) -> DeepLab variables.
+    All four reference backbones supported (backbone/__init__.py:3-13)."""
     v = _to_mutable(template)
     p, bs = v["params"], v["batch_stats"]
-    _convert_resnet_into(sd, p["backbone"], bs["backbone"], "backbone.")
+    _BACKBONE_CONVERTERS[backbone](sd, p["backbone"], bs["backbone"],
+                                   "backbone.")
 
     def convbn(fp, fbs, torch_conv, torch_bn):
         fp["conv"]["kernel"] = _conv(sd[torch_conv]).astype(np.float32)

@@ -178,6 +178,39 @@ def main(ref="/root/reference"):
     ok &= report("deeplab(resnet) fwd", out_j,
                  np.transpose(out_t, (0, 2, 3, 1)), 5e-4)
 
+    # the other three backbones (backbone/__init__.py:3-13): random torch
+    # weights -> convert -> forward must match.  Pretrained-zoo loading is
+    # stubbed out (drn_d_54 even dels fc keys from the downloaded dict,
+    # drn.py:377-381 — tolerate that too).
+    class _FakeZooDict(dict):
+        def __delitem__(self, key):
+            self.pop(key, None)
+
+    zoo.load_url = lambda *a, **k: _FakeZooDict()
+    for bb in ("xception", "drn", "mobilenet"):
+        torch.manual_seed(1)
+        torch.nn.Module.load_state_dict = lambda s, d, strict=True: None
+        tdl = TorchDeepLab(backbone=bb, output_stride=16, num_classes=1,
+                           sync_bn=False)
+        torch.nn.Module.load_state_dict = orig_lsd
+        tdl.eval()
+        fdl = FlaxDeepLab(backbone=bb, output_stride=16, num_classes=1)
+        template = jax.eval_shape(
+            lambda k: fdl.init(k, jnp.zeros((1, 64, 64, 3), jnp.float32)),
+            jax.random.PRNGKey(0))
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), template)
+        vdl = tc.convert_deeplab(
+            {k: v.detach().numpy() for k, v in tdl.state_dict().items()},
+            template, backbone=bb)
+        with torch.no_grad():
+            out_t = tdl(torch.from_numpy(
+                np.transpose(xin, (0, 3, 1, 2)))).numpy()
+        out_j = fdl.apply(vdl, jnp.asarray(xin), train=False,
+                          deterministic=True)
+        ok &= report(f"deeplab({bb}) fwd", out_j,
+                     np.transpose(out_t, (0, 2, 3, 1)), 5e-4)
+
     print("\nPARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

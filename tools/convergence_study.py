@@ -69,6 +69,11 @@ def main() -> None:
     ap.add_argument("--device_normalize", action="store_true",
                     help="run with the production uint8 transport instead "
                          "of the pinned f32 baseline transport")
+    ap.add_argument("--data_mesh", type=int, default=0,
+                    help="run the SAME study data-parallel over an N-device "
+                         "mesh (virtual CPU devices in tests) — the "
+                         "multi-step DP convergence twin of the single-"
+                         "device arm")
     args = ap.parse_args()
 
     name = args.name or ("conv_reuse" if args.reuse_fake else "conv_base")
@@ -93,6 +98,12 @@ def main() -> None:
     model = Pix2Pix(opt)
     steps = StepFunctions(model)
     state = state_lib.create_state(model, jax.random.PRNGKey(opt.seed))
+    mesh = None
+    if args.data_mesh:
+        from seg2eye_tpu.parallel.sharding import (make_mesh, param_shardings,
+                                                   place_state)
+        mesh = make_mesh(opt, data=args.data_mesh, model=1)
+        state = place_state(state, param_shardings(state, mesh))
     dataloader = create_dataloader(opt)
     tester = Tester(opt, dataset_key="validation")
 
@@ -106,6 +117,7 @@ def main() -> None:
                "losses": {k: float(np.mean(np.asarray(v)))
                           for k, v in (losses or {}).items()},
                "reuse_fake": bool(args.reuse_fake),
+               "data_mesh": args.data_mesh,
                "elapsed_s": round(elapsed, 1)}
         out.write(json.dumps(rec) + "\n")
         out.flush()
@@ -118,7 +130,7 @@ def main() -> None:
     evaluate(0, None, 0.0)
     while n < args.steps:
         prefetched = device_prefetch(
-            dataloader, lambda b: (b, device_batch(b)), depth=1)
+            dataloader, lambda b: (b, device_batch(b, mesh)), depth=1)
         for _, db in prefetched:
             state, losses, _ = steps.train_step(state, db)
             n += 1

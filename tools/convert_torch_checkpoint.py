@@ -48,6 +48,16 @@ def main():
     p.add_argument("--refinenet_pt", default="",
                    help="reference RefineNet/segnet step checkpoint (.pt) to "
                         "convert into a CheckpointManager ckpt")
+    p.add_argument("--backbone", default="resnet",
+                   choices=("resnet", "xception", "drn", "mobilenet"),
+                   help="DeepLab backbone of the --refinenet_pt / "
+                        "--backbone_pth checkpoint")
+    p.add_argument("--backbone_pth", default="",
+                   help="standalone backbone state_dict (.pth, vendored-"
+                        "module naming) to convert into a backbone ckpt — "
+                        "the zoo-bootstrap path for any of the four "
+                        "backbones (xception.py:288, mobilenet.py:145-151, "
+                        "drn.py:377, resnet.py:138-146)")
     p.add_argument("--num_classes", type=int, default=1)
     for flag, dv in (("--ngf", 64), ("--ndf", 64), ("--w_dim", 16),
                      ("--crop_size", 256), ("--label_nc", 4),
@@ -66,7 +76,7 @@ def main():
         from seg2eye_tpu.refinenet.model import RefineNetModel, SegNetModel
         from seg2eye_tpu.refinenet.training import Trainer
 
-        cfg = RefineNetConfig(compute_dtype="float32")
+        cfg = RefineNetConfig(compute_dtype="float32", backbone=a.backbone)
         model = (RefineNetModel(cfg) if a.num_classes == 1
                  else SegNetModel(cfg, num_classes=a.num_classes))
         trainer = Trainer(model, cfg,
@@ -74,23 +84,37 @@ def main():
         state = trainer.init_state(jax.random.PRNGKey(0))
         sd = load_state_dict(a.refinenet_pt)
         state["variables"] = tc.convert_deeplab(
-            sd, jax.device_get(state["variables"]))
+            sd, jax.device_get(state["variables"]), backbone=a.backbone)
         m = re.search(r"(\d+)\.pt$", a.refinenet_pt)
         step = int(m.group(1)) if m else 0
         path = CheckpointManager(a.out_dir).save_at_step(step, state)
         print("wrote", path)
         return
 
-    if a.resnet101:
-        from seg2eye_tpu.models.deeplab import ResNetBackbone
-        net = ResNetBackbone()
+    if a.resnet101 or a.backbone_pth:
+        bb = "resnet" if a.resnet101 else a.backbone
+        from seg2eye_tpu.models.deeplab import (MobileNetBackbone,
+                                                ResNetBackbone)
+        if bb == "resnet":
+            net = ResNetBackbone()
+        elif bb == "mobilenet":
+            net = MobileNetBackbone()
+        else:
+            from seg2eye_tpu.models.backbones_extra import (DRNBackbone,
+                                                            XceptionBackbone)
+            net = XceptionBackbone() if bb == "xception" else DRNBackbone()
         template = jax.eval_shape(
             lambda k: net.init(k, np.zeros((1, 64, 64, 3), np.float32)),
             jax.random.PRNGKey(0))
         template = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), template)
-        v = tc.convert_resnet_backbone(load_state_dict(a.resnet101), template)
-        out = os.path.join(a.out_dir, "resnet101_backbone.ckpt")
+        convert = {"resnet": tc.convert_resnet_backbone,
+                   "xception": tc.convert_xception_backbone,
+                   "drn": tc.convert_drn_backbone,
+                   "mobilenet": tc.convert_mobilenet_backbone}[bb]
+        v = convert(load_state_dict(a.resnet101 or a.backbone_pth), template)
+        name = "resnet101" if bb == "resnet" else bb
+        out = os.path.join(a.out_dir, f"{name}_backbone.ckpt")
         with open(out, "wb") as f:
             f.write(flax.serialization.to_bytes(v))
         print("wrote", out)
