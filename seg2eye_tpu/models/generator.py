@@ -42,7 +42,6 @@ class SpadeStyleGenerator(nn.Module):
     num_upsampling_layers: str = "normal"   # normal | more | most
     norm_g: str = "spectralspadebatch3x3"
     w_dim: int = 16
-    use_pallas: bool = False
     init_type: str = "xavier"
     init_gain: float = 0.02
 
@@ -65,7 +64,6 @@ class SpadeStyleGenerator(nn.Module):
 
         def block(fin, fout, name):
             return SpadeStyleResnetBlock(fin, fout, spectral, param_free, ks,
-                                         use_pallas=self.use_pallas,
                                          init_type=self.init_type,
                                          init_gain=self.init_gain, name=name)
 

@@ -58,13 +58,11 @@ class Pix2Pix:
         assert opt.netD_subarch == "n_layer", opt.netD_subarch
         self.opt = opt
         self.dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
-        # the fused Pallas path needs a real TPU backend (or interpret mode)
-        use_pallas = bool(opt.use_pallas) and jax.default_backend() == "tpu"
         self.gen = SpadeStyleGenerator(
             ngf=opt.ngf, output_nc=opt.output_nc, semantic_nc=opt.semantic_nc,
             crop_size=opt.crop_size, aspect_ratio=opt.aspect_ratio,
             num_upsampling_layers=opt.num_upsampling_layers,
-            norm_g=opt.norm_G, w_dim=opt.w_dim, use_pallas=use_pallas,
+            norm_g=opt.norm_G, w_dim=opt.w_dim,
             init_type=opt.init_type, init_gain=opt.init_variance)
         self.enc = ConvEncoder(ngf=opt.ngf, w_dim=opt.w_dim,
                                crop_size=opt.crop_size, norm_e=opt.norm_E,

@@ -128,14 +128,6 @@ class Options:
     data_axis: int = 0                        # devices along the `data` mesh axis; 0 = all
     model_axis: int = 1                       # devices along the `model` mesh axis
     tp_min_channels: int = 256                # TP: shard conv kernels with >= this many out-channels
-    # Fused Pallas SPADE+Style path (ops/pallas/spade_style.py), dispatched
-    # per-site through the MEASURED win window (pallas_eligible): the kernel
-    # beats XLA's conv emitter at the mid-resolution/high-channel sites in
-    # isolation (tools/bench_pallas.py) but the custom-VJP boundary costs
-    # more than those wins inside the full fused train step (217.6 vs
-    # 211.8 ms/step at bs16, v5e r2) — so the default stays OFF; see
-    # PARITY.md "Pallas status" for the complete measurement story.
-    use_pallas: bool = False
     prefetch: int = 2                         # host->device prefetch depth
     # Host-side LRU cache (MB) of deterministic image resizes — identical
     # outputs, skips redundant H5 read + PIL bicubic work across epochs/evals

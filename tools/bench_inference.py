@@ -46,13 +46,9 @@ def timeit(fn, args, iters=20):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[4, 16, 32])
-    ap.add_argument("--use_pallas", action="store_true",
-                    help="fused SPADE+Style kernel at the measured win-window "
-                         "sites — the inference path has no custom-VJP "
-                         "boundary, so per-site wins apply cleanly")
     args = ap.parse_args()
 
-    opt = Options(batchSize=max(args.batches), use_pallas=args.use_pallas,
+    opt = Options(batchSize=max(args.batches),
                   compute_dtype="bfloat16").finalize()
     model = Pix2Pix(opt)
     variables = model.init_variables(jax.random.PRNGKey(0), with_disc=False)
