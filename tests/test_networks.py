@@ -135,3 +135,34 @@ def test_encode_w_vmap_equivalence():
         mus.append(jnp.mean(mu, axis=0))
     np.testing.assert_allclose(np.asarray(w), np.asarray(jnp.stack(mus)),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_discriminate_layouts_identical():
+    """The interleaved ([f0,r0,f1,r1]) and concatenated ([fake|real]) 2B
+    discriminator batches are bitwise-equivalent: per-sample ops are
+    permutation-equivariant, and the multi-chip default (interleaved) must
+    change nothing but the sharding-facing layout."""
+    opt = small_opt()
+    model = Pix2Pix(opt)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    seg = jax.nn.one_hot(rng.integers(0, 4, (2, 32, 32)), 4,
+                         dtype=np.float32)
+    fake = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    real = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+
+    run = jax.jit(lambda il: model.discriminate(
+        variables, jnp.asarray(seg), fake, real, train=True, interleave=il),
+        static_argnums=0)
+    pf_i, pr_i, nd_i = run(True)
+    pf_c, pr_c, nd_c = run(False)
+    for si in range(len(pf_i)):
+        for li in range(len(pf_i[si])):
+            np.testing.assert_array_equal(np.asarray(pf_i[si][li]),
+                                          np.asarray(pf_c[si][li]))
+            np.testing.assert_array_equal(np.asarray(pr_i[si][li]),
+                                          np.asarray(pr_c[si][li]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-7),
+        nd_i, nd_c)
