@@ -92,7 +92,9 @@ class SpadeStyleBlock(nn.Module):
                 if not self.is_initializing() and \
                         self.is_mutable_collection("batch_stats"):
                     cnt = n * h * wd
-                    unbiased = var * (cnt / max(cnt - 1, 1))
+                    # jax.core.max_dim instead of Python max: cnt may be a
+                    # symbolic dimension under jax.export shape polymorphism
+                    unbiased = var * (cnt / jax.core.max_dim(cnt - 1, 1))
                     ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
                     ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
             mean_nc = jnp.broadcast_to(mean, (n, c))

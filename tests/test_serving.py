@@ -1,0 +1,100 @@
+"""AOT serving export: artifact roundtrip, batch polymorphism, parity."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seg2eye_tpu.models.pix2pix import Pix2Pix
+from seg2eye_tpu.options import Options
+from seg2eye_tpu.ops.image import to_255resized
+from seg2eye_tpu.serving import export_inference, load_serving
+
+
+def small_opt(**kw):
+    base = dict(ngf=4, ndf=4, crop_size=32, aspect_ratio=1.0, batchSize=2,
+                input_ns=2, w_dim=8, compute_dtype="float32", isTrain=False)
+    base.update(kw)
+    return Options(**base).finalize()
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    opt = small_opt()
+    model = Pix2Pix(opt)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    out = str(tmp_path_factory.mktemp("serving") / "artifact")
+    export_inference(model, variables, out, native_hw=(40, 64),
+                     platforms=("cpu",))
+    return out, model, variables, opt
+
+
+def _batch(opt, bs, seed=0):
+    rng = np.random.default_rng(seed)
+    h, w = opt.image_height, opt.image_width
+    label = rng.integers(0, opt.semantic_nc, (bs, h, w)).astype(np.uint8)
+    style = rng.integers(0, 256, (bs, opt.input_ns, h, w, 1)).astype(np.uint8)
+    return label, style
+
+
+def test_roundtrip_matches_model(artifact):
+    """Loaded artifact == live model.inference + score epilogue.
+
+    Not bitwise: the artifact is a batch-polymorphic program (symbolic b),
+    so XLA specializes reductions/fusions differently than the concrete-
+    shape jit — measured drift ~3e-7 on [-1,1] outputs, which can flip a
+    truncated integer by at most 1 at exact integer boundaries."""
+    art_dir, model, variables, opt = artifact
+    served = load_serving(art_dir)
+    label, style = _batch(opt, 2)
+    fake_s, f255_s = served(label, style)
+
+    batch = {"label": jnp.asarray(label), "style_image": jnp.asarray(style)}
+    fake = model.inference(variables, batch)
+    f255 = to_255resized(fake, w=40, h=64)
+    np.testing.assert_allclose(fake_s, np.asarray(fake), atol=1e-5)
+    assert np.abs(f255_s - np.asarray(f255)).max() <= 1
+    assert f255_s.shape == (2, 64, 40, 1)
+    # integer-valued f32 (jnp.trunc keeps float — matches ops.image.to_255)
+    assert f255_s.dtype == np.float32
+    np.testing.assert_array_equal(f255_s, np.trunc(f255_s))
+    assert f255_s.min() >= 0 and f255_s.max() <= 255
+
+
+def test_batch_polymorphism(artifact):
+    """One artifact serves multiple batch sizes (symbolic batch dim)."""
+    art_dir, model, variables, opt = artifact
+    served = load_serving(art_dir)
+    for bs in (1, 5):
+        label, style = _batch(opt, bs, seed=bs)
+        fake_s, f255_s = served(label, style)
+        batch = {"label": jnp.asarray(label),
+                 "style_image": jnp.asarray(style)}
+        np.testing.assert_allclose(
+            fake_s, np.asarray(model.inference(variables, batch)), atol=1e-5)
+        assert f255_s.shape == (bs, 64, 40, 1)
+
+
+def test_meta_spec(artifact):
+    art_dir, _, _, opt = artifact
+    served = load_serving(art_dir)
+    meta = served.meta
+    assert meta["inputs"]["label"]["dtype"] == "uint8"
+    assert meta["baked_options"]["w_dim"] == opt.w_dim
+    assert meta["native_hw"] == [40, 64]
+
+
+def test_no_model_code_needed(artifact, tmp_path):
+    """The artifact runs through jax.export deserialize alone — the loader
+    path touches no flax module or Options (the ServingModel class reads
+    only program + weights + meta)."""
+    art_dir, _, variables, opt = artifact
+    from jax import export as jexport
+    import flax.serialization
+    import os
+    with open(os.path.join(art_dir, "program.jaxexport"), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    with open(os.path.join(art_dir, "variables.msgpack"), "rb") as f:
+        v = flax.serialization.msgpack_restore(f.read())
+    label, style = _batch(opt, 3, seed=9)
+    fake, f255 = jax.jit(exported.call)(v, label, style)
+    assert fake.shape == (3, 32, 32, 1)

@@ -15,6 +15,14 @@ import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This tool compares against torch on the host CPU; TPU f32 convs use a
+# lower default matmul precision (bf16 passes) and produce false FAILs
+# (rel ~1e-2 on the deep DeepLab stacks — measured: the TPU conv deviates
+# 2e-3 from f64 where torch deviates 3e-7).  Force CPU: a hard override,
+# because this environment's shell profile exports JAX_PLATFORMS=axon, so
+# setdefault would silently leave the checker on the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 from seg2eye_tpu.utils.platform import configure_from_env  # noqa: E402
 
 configure_from_env()
