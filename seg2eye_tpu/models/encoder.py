@@ -36,14 +36,22 @@ class ConvEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, update_stats: bool = False,
-                 use_running_average: bool = False
+                 use_running_average: bool = False,
+                 constrain=None
                  ) -> Tuple[jax.Array, jax.Array, List[jax.Array]]:
-        """x: (N,H,W,1) in [-1,1]. Returns (mu, logvar, features)."""
+        """x: (N,H,W,1) in [-1,1]. Returns (mu, logvar, features).
+
+        ``constrain``: optional per-resolution activation sharding policy
+        (parallel.sharding.spatial_constraint) for spatially-sharded serving;
+        keeps small-H activations off padded uneven shards where partitioned
+        convs miscompute.  ``None`` is the identity."""
         spectral, sub = parse_nonspade_norm(self.norm_e)
         init = weight_init(self.init_type, self.init_gain)
         ndf = self.ngf
+        cs = constrain if constrain is not None else (lambda t: t)
         if x.shape[1] != 256 or x.shape[2] != 256:
             x = resize_bilinear(x, 256, 256)
+        x = cs(x)
 
         widths = [ndf, ndf * 2, ndf * 4, ndf * 8, ndf * 8]
         if self.crop_size >= 256:
@@ -57,8 +65,8 @@ class ConvEncoder(nn.Module):
                              use_bias=sub in ("", "none"),
                              spectral=spectral, kernel_init=init,
                              name=f"layer{i}")(x, update_stats)
-            x = SubNorm(sub, self.init_gain,
-                        name=f"norm{i}")(x, use_running_average)
+            x = cs(SubNorm(sub, self.init_gain,
+                           name=f"norm{i}")(x, use_running_average))
             features.append(x)
 
         out = nn.leaky_relu(x, 0.2)

@@ -54,11 +54,21 @@ class SpadeStyleGenerator(nn.Module):
     @nn.compact
     def __call__(self, seg: jax.Array, w: jax.Array,
                  update_stats: bool = False,
-                 use_running_average: bool = False) -> jax.Array:
-        """seg: (B,H,W,semantic_nc) one-hot float; w: (B,w_dim)."""
+                 use_running_average: bool = False,
+                 constrain=None) -> jax.Array:
+        """seg: (B,H,W,semantic_nc) one-hot float; w: (B,w_dim).
+
+        ``constrain`` (optional ``f(x) -> x``): activation sharding policy
+        applied at every resolution change — see
+        ``parallel.sharding.spatial_constraint``.  Required under spatially-
+        sharded (context-parallel) serving so GSPMD never leaves a small-H
+        activation on padded uneven shards, where partitioned convs
+        miscompute borders.  ``None`` is the identity.
+        """
         spectral, param_free, ks = parse_norm_g(self.norm_g)
         nf = self.ngf
         sh, sw = self.latent_size()
+        cs = constrain if constrain is not None else (lambda t: t)
 
         init = weight_init(self.init_type, self.init_gain)
 
@@ -68,31 +78,31 @@ class SpadeStyleGenerator(nn.Module):
                                          init_gain=self.init_gain, name=name)
 
         def run(blk, x, s):
-            return blk(x, resize_nearest(seg, x.shape[1], x.shape[2]), w,
-                       update_stats, use_running_average)
+            return cs(blk(x, cs(resize_nearest(seg, x.shape[1], x.shape[2])),
+                          w, update_stats, use_running_average))
 
-        x = resize_nearest(seg, sh, sw)
+        x = cs(resize_nearest(seg, sh, sw))
         x = SpectralConv(16 * nf, (3, 3), spectral=False, kernel_init=init,
                          name="fc")(x)
 
         x = run(block(16 * nf, 16 * nf, "head_0"), x, seg)
-        x = upsample2x(x)
+        x = cs(upsample2x(x))
         x = run(block(16 * nf, 16 * nf, "G_middle_0"), x, seg)
         if self.num_upsampling_layers in ("more", "most"):
-            x = upsample2x(x)
+            x = cs(upsample2x(x))
         x = run(block(16 * nf, 16 * nf, "G_middle_1"), x, seg)
 
-        x = upsample2x(x)
+        x = cs(upsample2x(x))
         x = run(block(16 * nf, 8 * nf, "up_0"), x, seg)
-        x = upsample2x(x)
+        x = cs(upsample2x(x))
         x = run(block(8 * nf, 4 * nf, "up_1"), x, seg)
-        x = upsample2x(x)
+        x = cs(upsample2x(x))
         x = run(block(4 * nf, 2 * nf, "up_2"), x, seg)
-        x = upsample2x(x)
+        x = cs(upsample2x(x))
         x = run(block(2 * nf, 1 * nf, "up_3"), x, seg)
 
         if self.num_upsampling_layers == "most":
-            x = upsample2x(x)
+            x = cs(upsample2x(x))
             x = run(block(1 * nf, nf // 2, "up_4"), x, seg)
 
         x = SpectralConv(self.output_nc, (3, 3), spectral=False,

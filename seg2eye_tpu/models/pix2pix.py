@@ -120,8 +120,8 @@ class Pix2Pix:
             target = norm(target)
         return seg, style, target
 
-    def encode_w(self, variables: Dict, style: jax.Array, train: bool
-                 ) -> Tuple[jax.Array, List[jax.Array], Dict]:
+    def encode_w(self, variables: Dict, style: jax.Array, train: bool,
+                 constrain=None) -> Tuple[jax.Array, List[jax.Array], Dict]:
         """style: (B,k,H,W,1) -> (w (B,w_dim), aggregated features, new E vars)."""
         b, k = style.shape[:2]
         flat = style.reshape(b * k, *style.shape[2:])
@@ -131,7 +131,8 @@ class Pix2Pix:
             new_e = {**variables["E"], **mut}
         else:
             mu, logvar, feats = self.enc.apply(variables["E"], flat,
-                                               update_stats=False)
+                                               update_stats=False,
+                                               constrain=constrain)
             new_e = variables["E"]
         mu = mu.reshape(b, k, -1)
         feats = [f.reshape(b, k, *f.shape[1:]) for f in feats]
@@ -147,7 +148,7 @@ class Pix2Pix:
         raise ValueError(self.opt.style_aggr_method)
 
     def generate(self, variables: Dict, seg: jax.Array, w: jax.Array,
-                 train: bool) -> Tuple[jax.Array, Dict]:
+                 train: bool, constrain=None) -> Tuple[jax.Array, Dict]:
         if train:
             fake, mut = self.gen.apply(
                 variables["G"], seg, w.astype(jnp.float32),
@@ -156,7 +157,8 @@ class Pix2Pix:
         ura = self.opt.eval_use_running_stats
         if ura:
             fake = self.gen.apply(variables["G"], seg, w.astype(jnp.float32),
-                                  update_stats=False, use_running_average=True)
+                                  update_stats=False, use_running_average=True,
+                                  constrain=constrain)
         else:
             # reference parity: inference runs in torch train mode (the
             # Tester never calls .eval(), SURVEY §2 C12), i.e. batch stats.
@@ -165,7 +167,8 @@ class Pix2Pix:
                                      w.astype(jnp.float32),
                                      update_stats=False,
                                      use_running_average=False,
-                                     mutable=["batch_stats"])
+                                     mutable=["batch_stats"],
+                                     constrain=constrain)
         return fake, variables["G"]
 
     def generate_fake(self, variables: Dict, seg: jax.Array, style: jax.Array,
@@ -310,14 +313,19 @@ class Pix2Pix:
     # inference
     # ------------------------------------------------------------------ #
     def inference(self, variables: Dict, batch: Dict,
-                  latent_style: Optional[jax.Array] = None) -> jax.Array:
+                  latent_style: Optional[jax.Array] = None,
+                  constrain=None) -> jax.Array:
         """mode='inference' (pix2pix_model.py:79-88).  Passing
         ``latent_style`` mirrors the reference's data['latent_style'] path
-        (generate_fake_from_stylecode)."""
+        (generate_fake_from_stylecode).  ``constrain`` is the optional
+        spatial-sharding activation policy for context-parallel serving
+        (parallel.sharding.spatial_constraint)."""
         seg, style, _ = self.preprocess(batch)
         if latent_style is None:
-            latent_style, _, _ = self.encode_w(variables, style, train=False)
-        fake, _ = self.generate(variables, seg, latent_style, train=False)
+            latent_style, _, _ = self.encode_w(variables, style, train=False,
+                                               constrain=constrain)
+        fake, _ = self.generate(variables, seg, latent_style, train=False,
+                                constrain=constrain)
         return fake.astype(jnp.float32)
 
     def encode_only(self, variables: Dict, batch: Dict) -> jax.Array:

@@ -118,6 +118,61 @@ def place_state(state, shardings):
     return jax.tree_util.tree_map(place, state, shardings)
 
 
+def shard_batch_spatial(batch: Dict, mesh: Mesh) -> Dict:
+    """Context-parallel analogue for conv activations (SURVEY §2.4): shard
+    the spatial H axis over 'data' instead of the batch axis.
+
+    For serving at batch sizes below the device count (the latency-bound
+    regime — batch sharding would idle devices), every NHWC activation is
+    split into H-bands; GSPMD inserts halo exchanges at conv/resize
+    boundaries automatically.  Pair with ``spatial_constraint(mesh)`` passed
+    as ``constrain=`` to ``Pix2Pix.inference`` — without it GSPMD keeps
+    low-resolution activations (H < data axis) on padded uneven shards,
+    where partitioned 3x3 convs are numerically WRONG (see PARITY.md
+    "spatial sharding"; reproduced at H=2 over 4 devices: the conv output
+    differs 100% from the replicated program, far beyond rounding).
+
+    Array rank decides the H axis position: label (B,H,W) -> axis 1,
+    images (B,H,W,C) -> axis 1, style stacks (B,k,H,W,C) -> axis 2.
+    """
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        h_axis = {3: 1, 4: 1, 5: 2}.get(v.ndim)
+        spec = [None] * v.ndim
+        if h_axis is not None and v.shape[h_axis] % mesh.shape["data"] == 0:
+            spec[h_axis] = "data"
+        out[k] = jax.device_put(v, NamedSharding(mesh, P(*spec)))
+    return out
+
+
+def spatial_constraint(mesh: Mesh):
+    """Per-resolution activation-sharding policy for spatially-sharded
+    (context-parallel) inference: shard H over 'data' while it divides the
+    axis, fall back to full replication for the tiny bottleneck resolutions.
+
+    An uneven H-sharding (H not divisible by the data axis) forces GSPMD to
+    pad shards, and the partitioned conv then produces wrong borders — a
+    measured XLA correctness hazard, not just a rounding change.  The deep
+    layers this replicates hold a negligible share of the FLOPs (the conv
+    pyramid's cost concentrates at high resolution), so replicating them
+    costs ~nothing while the expensive top resolutions keep the latency win.
+
+    Returns a callable ``f(x) -> x`` for NHWC activations, to pass as
+    ``constrain=`` into the generator / encoder / ``Pix2Pix.inference``.
+    """
+    nd = mesh.shape["data"]
+
+    def f(x: jax.Array) -> jax.Array:
+        if x.ndim >= 3 and x.shape[1] % nd == 0:
+            spec = P(None, "data", *([None] * (x.ndim - 2)))
+        else:
+            spec = P()
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return f
+
+
 def param_shardings(variables, mesh: Mesh, min_channels: int = 256):
     """Optional tensor-parallel layout: shard conv kernels' output-channel
     dim over 'model' when it is both large and divisible; everything else
