@@ -18,7 +18,7 @@ from seg2eye_tpu.data.loader import DataLoader, subsample  # noqa: E402
 from seg2eye_tpu.refinenet.config import RefineNetConfig   # noqa: E402
 from seg2eye_tpu.refinenet.dataset import RefineNetDataset  # noqa: E402
 from seg2eye_tpu.refinenet.model import RefineNetModel     # noqa: E402
-from seg2eye_tpu.refinenet.training import main_loop       # noqa: E402
+from seg2eye_tpu.refinenet.training import default_mesh, main_loop  # noqa: E402
 
 logging.basicConfig(level=logging.INFO)
 
@@ -43,5 +43,6 @@ if __name__ == "__main__":
     }
     model = RefineNetModel(cfg)
     result = main_loop(model, cfg, train_loader, test_data,
-                       loss_key="eds_loss", model_name="RefineNet")
+                       loss_key="eds_loss", model_name="RefineNet",
+                       mesh=default_mesh(cfg))
     print("output_dir:", result["output_dir"])

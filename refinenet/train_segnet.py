@@ -13,7 +13,7 @@ from seg2eye_tpu.data.loader import DataLoader, subsample  # noqa: E402
 from seg2eye_tpu.refinenet.config import RefineNetConfig   # noqa: E402
 from seg2eye_tpu.refinenet.segnet_dataset import SegNetDataset  # noqa: E402
 from seg2eye_tpu.refinenet.model import SegNetModel        # noqa: E402
-from seg2eye_tpu.refinenet.training import main_loop       # noqa: E402
+from seg2eye_tpu.refinenet.training import default_mesh, main_loop  # noqa: E402
 
 logging.basicConfig(level=logging.INFO)
 
@@ -34,5 +34,5 @@ if __name__ == "__main__":
     # RefineNet's 0.99 (train_refinenet.py:236)
     result = main_loop(model, cfg, train_loader, test_data,
                        loss_key="ce_loss", model_name="MyDeepLab",
-                       momentum=0.9)
+                       momentum=0.9, mesh=default_mesh(cfg))
     print("output_dir:", result["output_dir"])

