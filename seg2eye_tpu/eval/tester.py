@@ -49,17 +49,49 @@ class Tester:
         os.makedirs(self.results_dir, exist_ok=True)
         self._fwd = None
         self._rng = np.random.default_rng(self.opt.seed)
+        # --spatial_shard: context-parallel eval — H-band activations over
+        # the 'data' mesh axis (a low-batch eval uses every chip; see
+        # parallel/sharding.py spatial_constraint for why the per-resolution
+        # policy is mandatory)
+        self.mesh = None
+        if getattr(opt, "spatial_shard", False) and jax.device_count() > 1:
+            from seg2eye_tpu.parallel.sharding import make_mesh
+            self.mesh = make_mesh(None, data=jax.device_count(), model=1)
+        self._placed_vars = None  # (id(variables), replicated pytree) cache
 
     # ------------------------------------------------------------------ #
     def _forward_fn(self, model: Pix2Pix):
         if self._fwd is None:
+            constrain = None
+            if self.mesh is not None:
+                from seg2eye_tpu.parallel.sharding import spatial_constraint
+                constrain = spatial_constraint(self.mesh)
+
             def fwd(variables, label, style, h, w):
                 fake = model.inference(variables, {"label": label,
-                                                   "style_image": style})
+                                                   "style_image": style},
+                                       constrain=constrain)
                 fake_resized = to_255resized(fake, w=w, h=h)  # [0,255] ints
                 return fake, fake_resized
             self._fwd = jax.jit(fwd, static_argnums=(3, 4))
         return self._fwd
+
+    def _place(self, variables, batch: Dict):
+        """Device placement for one eval batch (+ variables, cached): plain
+        jnp arrays single-device, H-band sharded under --spatial_shard."""
+        if self.mesh is None:
+            return variables, jnp.asarray(batch["label"]), \
+                jnp.asarray(batch["style_image"])
+        from jax.sharding import NamedSharding, PartitionSpec
+        from seg2eye_tpu.parallel.sharding import shard_batch_spatial
+        if self._placed_vars is None or self._placed_vars[0] != id(variables):
+            repl = jax.device_put(
+                variables, NamedSharding(self.mesh, PartitionSpec()))
+            self._placed_vars = (id(variables), repl)
+        db = shard_batch_spatial({"label": batch["label"],
+                                  "style_image": batch["style_image"]},
+                                 self.mesh)
+        return self._placed_vars[1], db["label"], db["style_image"]
 
     def _native_hw(self, batch: Dict):
         """Score at the dataset's native resolution — 640x400 for OpenEDS
@@ -72,8 +104,8 @@ class Tester:
     def run_batch(self, batch: Dict, model: Pix2Pix, variables):
         fwd = self._forward_fn(model)
         h, w = self._native_hw(batch)
-        fake, fake_resized = fwd(variables, jnp.asarray(batch["label"]),
-                                 jnp.asarray(batch["style_image"]), h, w)
+        variables, label, style = self._place(variables, batch)
+        fake, fake_resized = fwd(variables, label, style, h, w)
         target = jnp.asarray(batch["target_original"]).astype(jnp.float32)
         errors = np.asarray(metrics.mse_for_images(fake_resized, target))
         return errors, np.asarray(fake), np.asarray(fake_resized)

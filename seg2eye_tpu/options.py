@@ -145,6 +145,10 @@ class Options:
     # with the just-updated G params (the reference regenerates,
     # pix2pix_model.py:251-254). Standard GAN practice; ~35% faster steps.
     reuse_fake: bool = False
+    # Spatial (context-parallel) eval/serving: shard activation H-bands over
+    # the 'data' mesh axis so batches smaller than the device count still
+    # use every chip (PARITY.md "spatial sharding"). test.py only.
+    spatial_shard: bool = False
 
     # derived (filled by finalize(); base_options.py:158-161)
     semantic_nc: int = 4

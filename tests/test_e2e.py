@@ -96,3 +96,20 @@ def test_npy_dump_manifest(env):
     arr = np.load(lines[0])
     assert arr.dtype == np.uint8
     assert arr.shape == (640, 400)       # OpenEDS native submission format
+
+def test_tester_spatial_shard_matches(env):
+    """--spatial_shard (context-parallel eval over the 8-device mesh)
+    scores the same as the default single-device path."""
+    d, opt = env
+    test_opt = opt.replace(isTrain=False)
+    model = Pix2Pix(test_opt)
+    state = state_lib.create_state(model, __import__("jax").random.PRNGKey(0))
+    base = Tester(test_opt, dataset_key="validation")
+    errs0 = base.run(model, state.variables, mode="fix", limit=2)
+    cp = Tester(test_opt.replace(spatial_shard=True),
+                dataset_key="validation")
+    assert cp.mesh is not None and cp.mesh.shape["data"] == 8
+    errs1 = cp.run(model, state.variables, mode="fix", limit=2)
+    for k in errs0:
+        np.testing.assert_allclose(errs0[k], errs1[k], rtol=2e-3, atol=1e-6,
+                                   err_msg=k)
