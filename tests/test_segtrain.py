@@ -418,6 +418,36 @@ def test_make_data_loader_pascal(tmp_path):
     assert batch["label"].shape == (2, 24, 24)
 
 
+def test_calculate_weights_labels(tmp_path):
+    from seg2eye_tpu.segtrain.weights import calculate_weights_labels
+    batches = [{"label": np.array([[0, 0, 1, 255]], np.float32)},
+               {"label": np.array([[1, 1, 2, 300]], np.float32)}]
+    w = calculate_weights_labels(str(tmp_path), "pascal", batches, 3)
+    z = np.array([2, 3, 1], np.float64)
+    want = 1.0 / np.log(1.02 + z / z.sum())   # calculate_weights.py:20-25
+    np.testing.assert_allclose(w, want)
+    cached = np.load(os.path.join(str(tmp_path),
+                                  "pascal_classes_weights.npy"))
+    np.testing.assert_allclose(cached, want)
+
+
+def test_cli_defaults_per_dataset():
+    """train.py:250-290 auto defaults."""
+    from seg2eye_tpu.segtrain.trainer import build_argparser, finalize_args
+    n = jax.device_count()
+    args = finalize_args(build_argparser().parse_args(
+        ["--dataset", "pascal"]))
+    assert args.epochs == 50 and args.batch_size == 4 * n
+    assert np.isclose(args.lr, 0.007 / (4 * n) * args.batch_size)
+    assert args.checkname == "deeplab-resnet"
+    args = finalize_args(build_argparser().parse_args(
+        ["--dataset", "cityscapes", "--backbone", "mobilenet",
+         "--batch-size", "16"]))
+    assert args.epochs == 200 and args.batch_size == 16
+    assert np.isclose(args.lr, 0.01 / (4 * n) * 16)
+    assert args.checkname == "deeplab-mobilenet"
+
+
 # --------------------------------------------------------------------- #
 # trainer end-to-end
 # --------------------------------------------------------------------- #
@@ -467,6 +497,21 @@ def test_trainer_end_to_end(voc_env):
     t3 = SegTrainer(_tiny_args(
         voc_env, resume=os.path.join(exp, "checkpoint.ckpt"), ft=True))
     assert t3.args.start_epoch == 0
+
+
+def test_trainer_balanced_weights_wiring(voc_env):
+    """--use-balanced-weights computes + caches the class weights and bakes
+    them into the criterion (train.py:46-57)."""
+    from seg2eye_tpu.segtrain.trainer import SegTrainer
+    t = SegTrainer(_tiny_args(voc_env, use_balanced_weights=True))
+    path = os.path.join(voc_env, "VOCdevkit", "VOC2012",
+                        "pascal_classes_weights.npy")
+    assert os.path.exists(path)
+    w = np.load(path)
+    assert w.shape == (21,) and (w > 0).all()
+    # second construction loads the cache instead of recomputing
+    t2 = SegTrainer(_tiny_args(voc_env, use_balanced_weights=True))
+    assert t2.criterion.__self__.weight is not None
 
 
 def test_trainer_no_val_checkpoints_every_epoch(voc_env):
