@@ -57,7 +57,11 @@ class Tester:
         if getattr(opt, "spatial_shard", False) and jax.device_count() > 1:
             from seg2eye_tpu.parallel.sharding import make_mesh
             self.mesh = make_mesh(None, data=jax.device_count(), model=1)
-        self._placed_vars = None  # (id(variables), replicated pytree) cache
+        # (variables, replicated pytree) cache — keyed by the OBJECT (held
+        # strongly and compared with `is`), never id(): a freed dict's id
+        # can be recycled by a new variables pytree mid-training, which
+        # would silently serve stale weights
+        self._placed_vars = None
 
     # ------------------------------------------------------------------ #
     def _forward_fn(self, model: Pix2Pix):
@@ -84,10 +88,10 @@ class Tester:
                 jnp.asarray(batch["style_image"])
         from jax.sharding import NamedSharding, PartitionSpec
         from seg2eye_tpu.parallel.sharding import shard_batch_spatial
-        if self._placed_vars is None or self._placed_vars[0] != id(variables):
+        if self._placed_vars is None or self._placed_vars[0] is not variables:
             repl = jax.device_put(
                 variables, NamedSharding(self.mesh, PartitionSpec()))
-            self._placed_vars = (id(variables), repl)
+            self._placed_vars = (variables, repl)
         db = shard_batch_spatial({"label": batch["label"],
                                   "style_image": batch["style_image"]},
                                  self.mesh)
@@ -228,8 +232,8 @@ class Tester:
         """Like run_batch but without ground truth (test split)."""
         fwd = self._forward_fn(model)
         h, w = self._native_hw(batch)
-        fake, fake_resized = fwd(variables, jnp.asarray(batch["label"]),
-                                 jnp.asarray(batch["style_image"]), h, w)
+        variables, label, style = self._place(variables, batch)
+        fake, fake_resized = fwd(variables, label, style, h, w)
         return None, np.asarray(fake), np.asarray(fake_resized)
 
     def run_partial_modes(self, model, variables, epoch, n_steps, log,

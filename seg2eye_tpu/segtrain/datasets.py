@@ -398,10 +398,16 @@ def make_data_loader(args, seed: int = 0):
     """dataloaders/__init__.py:4-41 -> (train, val, test, nclass); loaders
     are seg2eye_tpu.data.loader.DataLoader (threaded numpy prefetch, NHWC
     collation, per-process sharding under multi-host DP)."""
+    import jax
+
     def loader(ds, shuffle):
+        # batch_size is GLOBAL; under multi-host DP each process loads
+        # only its contiguous shard of every batch (loader.py:64-72)
         return DataLoader(ds, batch_size=args.batch_size, shuffle=shuffle,
                           drop_last=shuffle, seed=seed,
-                          prefetch=min(2, args.workers))
+                          prefetch=min(2, args.workers),
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count())
 
     if args.dataset == "pascal":
         train_set = VOCSegmentation(args, split="train")

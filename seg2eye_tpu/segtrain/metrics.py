@@ -33,8 +33,10 @@ def confusion_matrix(gt: jnp.ndarray, pred: jnp.ndarray, num_class: int
     pred = pred.astype(jnp.int32).ravel()
     mask = (gt >= 0) & (gt < num_class)
     idx = jnp.where(mask, num_class * gt + pred, 0)
-    counts = jnp.zeros(num_class * num_class, jnp.float32)
-    counts = counts.at[idx].add(mask.astype(jnp.float32))
+    # int32 counts: exact up to 2^31 pixels/cell per batch (f32 would stop
+    # incrementing at 2^24 — reachable for background-dominated big batches)
+    counts = jnp.zeros(num_class * num_class, jnp.int32)
+    counts = counts.at[idx].add(mask.astype(jnp.int32))
     return counts.reshape(num_class, num_class)
 
 

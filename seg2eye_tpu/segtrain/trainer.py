@@ -207,11 +207,20 @@ class SegTrainer:
 
     # ------------------------------------------------------------------ #
     def training(self, epoch: int) -> float:
+        from seg2eye_tpu.data.loader import device_prefetch
         train_loss = 0.0
         num_img_tr = len(self.train_loader)
-        i = 0
-        for i, sample in enumerate(self.train_loader):
-            image, target = self._device(sample)
+        if num_img_tr == 0:
+            raise RuntimeError(
+                f"train loader yields no batches: {len(self.train_loader.dataset)} "
+                f"samples < global batch_size {self.args.batch_size} with "
+                f"drop_last — reduce --batch-size")
+        i, sample = 0, None
+        # host->device transfer of the next batch overlaps the in-flight
+        # step (the remote-TPU tunnel makes transfer the loop bottleneck)
+        prefetched = device_prefetch(iter(self.train_loader),
+                                     lambda s: (s, self._device(s)), depth=1)
+        for i, (sample, (image, target)) in enumerate(prefetched):
             lr = self.scheduler(i, epoch)
             self._rng, sub = jax.random.split(self._rng)
             self.state, loss, logits = self.train_step(
@@ -242,6 +251,8 @@ class SegTrainer:
 
     def validation(self, epoch: int) -> float:
         self.evaluator.reset()
+        if len(self.val_loader) == 0:
+            raise RuntimeError("val loader yields no batches")
         test_loss = 0.0
         i, sample = 0, None
         for i, sample in enumerate(self.val_loader):
