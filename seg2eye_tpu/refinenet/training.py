@@ -177,14 +177,25 @@ def default_mesh(cfg: RefineNetConfig):
 def device_batch(batch: Dict, mesh=None) -> Dict:
     """Host batch -> device.  With a mesh, shard the batch axis over 'data'
     (tail/eval batches whose size doesn't divide the axis are replicated —
-    correct either way, sharding is only the efficient layout)."""
+    correct either way, sharding is only the efficient layout).
+
+    Divisibility is judged on the GLOBAL batch: under multi-process DP the
+    loader yields only this process's local shard (data/loader.py:64-72),
+    and shard_batch assembles the global array across processes.  The
+    replicate fallback is host-local data, so it is single-process only."""
     arrs = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
     if mesh is not None:
         from seg2eye_tpu.parallel.sharding import shard_batch
         from jax.sharding import NamedSharding, PartitionSpec
-        bs = len(next(iter(arrs.values())))
+        nproc = jax.process_count()
+        bs = len(next(iter(arrs.values()))) * nproc
         if bs % mesh.shape["data"] == 0:
             return shard_batch(arrs, mesh)
+        if nproc > 1:
+            raise ValueError(
+                f"global batch {bs} must divide the data axis "
+                f"({mesh.shape['data']}) under multi-process DP — tail "
+                f"batches cannot be replicated from process-local data")
         return jax.device_put(arrs, NamedSharding(mesh, PartitionSpec()))
     return {k: jnp.asarray(v) for k, v in arrs.items()}
 

@@ -206,7 +206,9 @@ class SegTrainer:
         return db["image"], db["label"]
 
     # ------------------------------------------------------------------ #
-    def training(self, epoch: int) -> float:
+    def training(self, epoch: int, step_hook=None) -> float:
+        """``step_hook(step_in_epoch, loss_float)``: observability/test hook
+        (the reference's tqdm postfix + per-iter scalar, train.py:108-110)."""
         from seg2eye_tpu.data.loader import device_prefetch
         train_loss = 0.0
         num_img_tr = len(self.train_loader)
@@ -226,11 +228,17 @@ class SegTrainer:
             self.state, loss, logits = self.train_step(
                 self.state, image, target, jnp.float32(lr), sub)
             train_loss += float(loss)
+            if step_hook is not None:
+                step_hook(i, float(loss))
             self.writer.update_current_step(i + num_img_tr * epoch)
             self.writer.add_scalar("train/total_loss_iter", float(loss))
 
-            # 10 * 3 inference results each epoch (train.py:112-115)
-            if i % max(1, num_img_tr // 10) == 0:
+            # 10 * 3 inference results each epoch (train.py:112-115).
+            # Multi-process DP: logits are sharded across hosts and the
+            # local shard isn't the first-3 grid — skip the image dump
+            # (scalars still log everywhere).
+            if i % max(1, num_img_tr // 10) == 0 \
+                    and jax.process_count() == 1:
                 self.summary.visualize_image(
                     self.writer, self.args.dataset,
                     np.asarray(sample["image"]), np.asarray(sample["label"]),

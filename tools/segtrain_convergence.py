@@ -65,6 +65,43 @@ def make_learnable_voc(root: str, n_train: int, n_val: int, h: int = 40,
                 os.path.join(base, "SegmentationClass", iid + ".png"))
 
 
+def A_args(**overrides):
+    """Tiny-config trainer args (shared with tools/multiprocess_segtrain)."""
+    class A:
+        backbone = "resnet"
+        out_stride = 16
+        dataset = "pascal"
+        use_sbd = False
+        workers = 0
+        base_size = 40
+        crop_size = 32
+        sync_bn = False
+        freeze_bn = False
+        loss_type = "ce"
+        epochs = 8
+        start_epoch = 0
+        batch_size = 8
+        test_batch_size = 8
+        use_balanced_weights = False
+        lr = 0.02
+        lr_scheduler = "poly"
+        momentum = 0.9
+        weight_decay = 5e-4
+        nesterov = False
+        seed = 1
+        resume = None
+        checkname = "convergence"
+        ft = False
+        eval_interval = 1
+        no_val = False
+        data_root = None
+        resnet_layers = (1, 1, 1, 1)
+    a = A()
+    for k, v in overrides.items():
+        setattr(a, k, v)
+    return a
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=8)
@@ -86,39 +123,12 @@ def main() -> None:
 
     from seg2eye_tpu.segtrain.trainer import SegTrainer
 
-    class A:
-        backbone = "resnet"
-        out_stride = 16
-        dataset = "pascal"
-        use_sbd = False
-        workers = 0
-        base_size = 40
-        crop_size = 32
-        sync_bn = False
-        freeze_bn = False
-        loss_type = "ce"
-        epochs = args_cli.epochs
-        start_epoch = 0
-        batch_size = args_cli.batch_size
-        test_batch_size = args_cli.batch_size
-        use_balanced_weights = False
-        lr = args_cli.lr
-        lr_scheduler = "poly"
-        momentum = 0.9
-        weight_decay = 5e-4
-        nesterov = False
-        seed = 1
-        resume = None
-        checkname = "convergence"
-        ft = False
-        eval_interval = 1
-        no_val = False
-        data_root = root
-        resnet_layers = (1, 1, 1, 1)
-
+    targs = A_args(epochs=args_cli.epochs, batch_size=args_cli.batch_size,
+                   test_batch_size=args_cli.batch_size, lr=args_cli.lr,
+                   data_root=root)
     os.chdir(args_cli.workdir)        # Saver writes ./run/...
     try:
-        trainer = SegTrainer(A())
+        trainer = SegTrainer(targs)
         rows = []
         for epoch in range(args_cli.epochs):
             loss = trainer.training(epoch)
