@@ -18,8 +18,10 @@ Parity notes:
     (results unassigned) — gradients flow through both sides; reproduced.
   * discriminator loss = hinge on fake & real with fake re-generated under
     stop-gradient (pix2pix_model.py:249-264).
-  * VGGLoss is referenced but undefined in the fork (dead code; SURVEY §2 C10)
-    and no_vgg_loss defaults True — intentionally not implemented.
+  * VGGLoss is referenced but undefined in the fork (dead code; SURVEY §2
+    C10): no_vgg_loss defaults True for parity, but the loss itself IS
+    implemented properly per SURVEY §7.3 (models/vgg.py — SPADE's five-slice
+    VGG19 L1; weights loaded via --vgg_weights, frozen, never optimized).
   * The raw-vs-weighted loss log side channel (pix2pix_model.py:49-59) is
     reproduced by returning `raw` entries alongside weighted ones.
 
@@ -73,6 +75,9 @@ class Pix2Pix:
             norm_d=opt.norm_D,
             get_intermediate_features=not opt.no_ganFeat_loss,
             init_type=opt.init_type, init_gain=opt.init_variance)
+        if not opt.no_vgg_loss:
+            from seg2eye_tpu.models.vgg import VGG19Features
+            self.vgg = VGG19Features()
 
     # ------------------------------------------------------------------ #
     # init
@@ -98,6 +103,12 @@ class Pix2Pix:
             d_in = jnp.zeros((2, h, w, opt.semantic_nc + opt.output_nc),
                              self.dtype)
             variables["D"] = self.disc.init(kd, d_in)
+        if with_disc and not opt.no_vgg_loss:
+            # frozen perceptual net; real weights come from --vgg_weights
+            # (utils/checkpoint.py load_vgg), random init only for tests
+            variables["VGG"] = self.vgg.init(
+                jax.random.fold_in(rng, 4), jnp.zeros((1, h, w, 3),
+                                                      jnp.float32))
         return variables
 
     # ------------------------------------------------------------------ #
@@ -280,6 +291,16 @@ class Pix2Pix:
         if not opt.no_ganFeat_loss:
             losses["GAN_Feat"] = L.feature_matching_loss(
                 pred_fake, pred_real, opt.lambda_feat)
+
+        if not opt.no_vgg_loss:
+            # pix2pix_model.py:228-229 (SPADE semantics; the fork's class is
+            # missing — see models/vgg.py)
+            from seg2eye_tpu.models.vgg import to_rgb
+            feats_f = self.vgg.apply(variables["VGG"], to_rgb(fake))
+            feats_r = self.vgg.apply(variables["VGG"], to_rgb(target))
+            vl = L.vgg_loss(feats_f, feats_r)
+            losses["VGG/weighted"] = vl * opt.lambda_vgg
+            raw["VGG/raw"] = vl
 
         total = sum(jnp.mean(v) for v in losses.values())
         return total, ({**losses, **raw}, fake, newv)

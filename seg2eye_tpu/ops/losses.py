@@ -122,3 +122,19 @@ def multi_gram_loss(feats_fake: List[jax.Array],
     for ff, fr in zip(feats_fake, feats_real):
         total = total + style_gram_loss(ff, fr)
     return total
+
+
+VGG_SLICE_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
+
+
+def vgg_loss(feats_fake: List[jax.Array],
+             feats_real: List[jax.Array]) -> jax.Array:
+    """SPADE perceptual loss: weighted L1 over the five relu{1..5}_1 VGG19
+    slices (the fork's missing VGGLoss, constructed at pix2pix_model.py:38;
+    implemented per SURVEY §7.3).  The target's features carry no generator
+    gradient by construction (they come from data), matching the upstream's
+    detach on y."""
+    total = 0.0
+    for wt, ff, fr in zip(VGG_SLICE_WEIGHTS, feats_fake, feats_real):
+        total = total + wt * l1_loss(ff, fr)
+    return total

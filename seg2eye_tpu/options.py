@@ -106,6 +106,9 @@ class Options:
     lambda_openeds: float = 0.0
     no_ganFeat_loss: bool = False
     no_vgg_loss: bool = True                  # train_options.py:51 set_defaults
+    # converted VGG19 weights (tools/convert_torch_checkpoint.py --vgg19_pth)
+    # for --no_vgg_loss=False; empty + VGG enabled -> random features error
+    vgg_weights: str = ""
     gan_mode: str = "hinge"                   # ls | original | hinge | w
     no_TTUR: bool = False
     lambda_kld: float = 0.05

@@ -52,6 +52,9 @@ def train(opt: Options, max_steps: Optional[int] = None,
     mesh = make_mesh(opt)
 
     state = state_lib.create_state(model, jax.random.PRNGKey(opt.seed))
+    if not opt.no_vgg_loss:
+        state = state.replace(
+            variables=checkpoint.load_vgg(state.variables, opt))
     iter_counter = IterationCounter(opt, len(dataloader) * opt.batchSize)
     if opt.continue_train and checkpoint.has_checkpoint(opt, opt.which_epoch):
         state = checkpoint.load_state(state, opt, opt.which_epoch)

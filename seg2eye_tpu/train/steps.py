@@ -20,12 +20,21 @@ from seg2eye_tpu.models.pix2pix import Pix2Pix
 from seg2eye_tpu.train.state import TrainState, make_optimizer, ttur_betas, ttur_lrs
 
 
+def _extra_nets(state: TrainState) -> Dict:
+    """Collections beyond G/E/D (e.g. the frozen 'VGG' perceptual net):
+    carried through every step untouched, never optimized."""
+    return {k: v for k, v in state.variables.items()
+            if k not in ("G", "E", "D")}
+
+
 def _g_update(model: Pix2Pix, tx_g, state: TrainState, batch: Dict):
+    extra = _extra_nets(state)
+
     def loss_fn(params_ge):
         variables = {
             "G": {**state.variables["G"], "params": params_ge["G"]},
             "E": {**state.variables["E"], "params": params_ge["E"]},
-            "D": state.variables["D"],
+            "D": state.variables["D"], **extra,
         }
         total, (losses, fake, newv) = model.generator_loss(variables, batch)
         return total, (losses, fake, newv)
@@ -38,7 +47,7 @@ def _g_update(model: Pix2Pix, tx_g, state: TrainState, batch: Dict):
     variables = {
         "G": {**newv["G"], "params": new_params["G"]},
         "E": {**newv["E"], "params": new_params["E"]},
-        "D": newv["D"],
+        "D": newv["D"], **extra,
     }
     state = state.replace(variables=variables, opt_g=new_opt_g)
     return state, losses, fake
@@ -73,7 +82,7 @@ def _d_update(model: Pix2Pix, tx_d, state: TrainState, batch: Dict,
     new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
     variables = {
         "G": gen_new["G"], "E": gen_new["E"],
-        "D": {**new_d, "params": new_params},
+        "D": {**new_d, "params": new_params}, **_extra_nets(state),
     }
     state = state.replace(variables=variables, opt_d=new_opt_d)
     return state, losses

@@ -80,3 +80,18 @@ def load_state(state: TrainState, opt, epoch,
 
 def has_checkpoint(opt, epoch) -> bool:
     return os.path.exists(_path(opt, epoch, "net_G"))
+
+
+def load_vgg(variables: dict, opt) -> dict:
+    """Load converted VGG19 weights (--vgg_weights) into variables['VGG'].
+    Training with --no_vgg_loss=False and no weights file is an error —
+    a random perceptual net silently corrupts the loss."""
+    if opt.no_vgg_loss:
+        return variables
+    if not opt.vgg_weights:
+        raise ValueError(
+            "--no_vgg_loss=False needs --vgg_weights (convert torchvision "
+            "vgg19 with tools/convert_torch_checkpoint.py --vgg19_pth)")
+    with open(opt.vgg_weights, "rb") as f:
+        vgg = flax.serialization.from_bytes(variables["VGG"], f.read())
+    return {**variables, "VGG": vgg}

@@ -366,3 +366,20 @@ def convert_deeplab(sd: Dict[str, np.ndarray], template,
     dp["classifier"]["bias"] = sd["decoder.last_conv.8.bias"].astype(
         np.float32)
     return v
+
+
+def convert_vgg19(sd: Dict[str, np.ndarray], template) -> Dict:
+    """torchvision ``vgg19`` (or bare ``vgg19.features``) state_dict ->
+    VGG19Features variables (models/vgg.py; conv names carry the
+    ``features.{i}`` index, so the mapping is mechanical)."""
+    out = _to_mutable(template)
+    p = out["params"]
+    for name in p:
+        idx = int(name.removeprefix("conv"))
+        key = f"features.{idx}.weight"
+        if key not in sd:                      # bare .features dump
+            key = f"{idx}.weight"
+        _set(p, (name, "kernel"), _conv(np.asarray(sd[key])))
+        _set(p, (name, "bias"),
+             np.asarray(sd[key.replace("weight", "bias")]))
+    return out

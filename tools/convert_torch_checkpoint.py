@@ -58,6 +58,10 @@ def main():
                         "the zoo-bootstrap path for any of the four "
                         "backbones (xception.py:288, mobilenet.py:145-151, "
                         "drn.py:377, resnet.py:138-146)")
+    p.add_argument("--vgg19_pth", default="",
+                   help="torchvision vgg19 state_dict (.pth) to convert "
+                        "into vgg19.ckpt for --no_vgg_loss=False "
+                        "(--vgg_weights; SURVEY §7.3)")
     p.add_argument("--num_classes", type=int, default=1)
     for flag, dv in (("--ngf", 64), ("--ndf", 64), ("--w_dim", 16),
                      ("--crop_size", 256), ("--label_nc", 4),
@@ -89,6 +93,21 @@ def main():
         step = int(m.group(1)) if m else 0
         path = CheckpointManager(a.out_dir).save_at_step(step, state)
         print("wrote", path)
+        return
+
+    if a.vgg19_pth:
+        from seg2eye_tpu.models.vgg import VGG19Features
+        net = VGG19Features()
+        template = jax.eval_shape(
+            lambda k: net.init(k, np.zeros((1, 64, 64, 3), np.float32)),
+            jax.random.PRNGKey(0))
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), template)
+        v = tc.convert_vgg19(load_state_dict(a.vgg19_pth), template)
+        out = os.path.join(a.out_dir, "vgg19.ckpt")
+        with open(out, "wb") as f:
+            f.write(flax.serialization.to_bytes(v))
+        print("wrote", out)
         return
 
     if a.resnet101 or a.backbone_pth:
