@@ -49,3 +49,13 @@ def test_replace_finalizes():
     assert opt.semantic_nc == 6
     opt2 = opt.replace(label_nc=2)
     assert opt2.semantic_nc == 2
+
+
+def test_true_default_bools_get_inverted_enable_flags():
+    """A True-default bool 'no_X' exposes '--X' to enable the feature
+    (store_false on no_X) — e.g. --vgg_loss turns the VGG loss on."""
+    opt = parse_options(["--vgg_loss", "--vgg_weights", "w.ckpt"],
+                        is_train=True, save=False)
+    assert opt.no_vgg_loss is False and opt.vgg_weights == "w.ckpt"
+    opt = parse_options(["--ganFeat_loss"], is_train=True, save=False)
+    assert opt.no_ganFeat_loss is False
