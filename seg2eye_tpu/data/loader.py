@@ -137,8 +137,20 @@ class DataLoader:
 
     def _load(self, idxs: np.ndarray) -> Dict:
         if self.process_count > 1:
-            lo = self.process_index * self.local_batch
-            idxs = idxs[lo:lo + self.local_batch]
+            # idxs is the GLOBAL batch, known identically on every process,
+            # so this check fires (or not) consistently everywhere — a tail
+            # sliced at fixed offsets would give processes UNEQUAL local
+            # shards, which both diverges control flow downstream and is
+            # unassemblable by make_array_from_process_local_data
+            if len(idxs) % self.process_count:
+                raise ValueError(
+                    f"multi-process loading needs every batch divisible by "
+                    f"process_count={self.process_count}; got a tail batch "
+                    f"of {len(idxs)} — use drop_last, pad the dataset, or "
+                    f"pick a dividing batch size")
+            local = len(idxs) // self.process_count
+            lo = self.process_index * local
+            idxs = idxs[lo:lo + local]
         items = [self.dataset.__getitem__(int(i), rng=self._rng)
                  for i in idxs]
         return collate(items)

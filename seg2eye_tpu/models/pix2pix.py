@@ -294,10 +294,16 @@ class Pix2Pix:
 
         if not opt.no_vgg_loss:
             # pix2pix_model.py:228-229 (SPADE semantics; the fork's class is
-            # missing — see models/vgg.py)
+            # missing — see models/vgg.py).  fake+real run as ONE interleaved
+            # 2B batch — a single VGG program, and the interleave keeps the
+            # batch axis layout local under DP sharding (same trick as
+            # discriminate()).
             from seg2eye_tpu.models.vgg import to_rgb
-            feats_f = self.vgg.apply(variables["VGG"], to_rgb(fake))
-            feats_r = self.vgg.apply(variables["VGG"], to_rgb(target))
+            pair = jnp.stack([to_rgb(fake), to_rgb(target)], axis=1)
+            feats = self.vgg.apply(variables["VGG"],
+                                   pair.reshape(-1, *pair.shape[2:]))
+            feats_f = [f.reshape(-1, 2, *f.shape[1:])[:, 0] for f in feats]
+            feats_r = [f.reshape(-1, 2, *f.shape[1:])[:, 1] for f in feats]
             vl = L.vgg_loss(feats_f, feats_r)
             losses["VGG/weighted"] = vl * opt.lambda_vgg
             raw["VGG/raw"] = vl

@@ -59,9 +59,13 @@ class VGG19Features(nn.Module):
 
 
 def to_rgb(x: jax.Array) -> jnp.ndarray:
-    """(B,H,W,1) or (B,H,W) grayscale -> (B,H,W,3) f32 (the OpenEDS fork
-    generates 1-channel eye images; VGG expects 3)."""
+    """(B,H,W,{1,3}) or (B,H,W) -> (B,H,W,3) f32: grayscale is repeated
+    (the OpenEDS fork defaults to 1-channel eye images), RGB (--output_nc 3)
+    passes through — VGG always consumes 3 channels."""
     x = jnp.asarray(x, jnp.float32)
     if x.ndim == 3:
         x = x[..., None]
+    if x.shape[-1] == 3:
+        return x
+    assert x.shape[-1] == 1, x.shape
     return jnp.repeat(x, 3, axis=-1)

@@ -85,10 +85,17 @@ def default_mesh(batch_size: int):
 class SegTrainer:
     def __init__(self, args):
         self.args = args
+        # multi-host DP: only process 0 owns the run directory — N processes
+        # writing the same model_best.ckpt / TB event files would corrupt
+        # both (standard JAX host-0-logs convention)
+        self._primary = jax.process_index() == 0
         self.saver = Saver(args)
-        self.saver.save_experiment_config()
+        if self._primary:
+            self.saver.save_experiment_config()
         self.summary = TensorboardSummary(self.saver.experiment_dir)
         self.writer = self.summary.create_summary()
+        if not self._primary:
+            self.writer.writer = None          # scalars/images become no-ops
 
         (self.train_loader, self.val_loader, self.test_loader,
          self.nclass) = make_data_loader(args, seed=args.seed)
@@ -251,7 +258,7 @@ class SegTrainer:
               % (epoch, i * self.args.batch_size + len(sample["image"])))
         print("Loss: %.3f" % train_loss)
 
-        if self.args.no_val:
+        if self.args.no_val and self._primary:
             self.saver.save_checkpoint(
                 {"epoch": epoch + 1, "best_pred": self.best_pred,
                  **jax.device_get(self.state)}, is_best=False)
@@ -289,10 +296,11 @@ class SegTrainer:
         print("Loss: %.3f" % test_loss)
 
         if miou > self.best_pred:
-            self.best_pred = miou
-            self.saver.save_checkpoint(
-                {"epoch": epoch + 1, "best_pred": self.best_pred,
-                 **jax.device_get(self.state)}, is_best=True)
+            self.best_pred = miou              # tracked on every process
+            if self._primary:
+                self.saver.save_checkpoint(
+                    {"epoch": epoch + 1, "best_pred": self.best_pred,
+                     **jax.device_get(self.state)}, is_best=True)
         return miou
 
 

@@ -57,5 +57,6 @@ def test_true_default_bools_get_inverted_enable_flags():
     opt = parse_options(["--vgg_loss", "--vgg_weights", "w.ckpt"],
                         is_train=True, save=False)
     assert opt.no_vgg_loss is False and opt.vgg_weights == "w.ckpt"
-    opt = parse_options(["--ganFeat_loss"], is_train=True, save=False)
-    assert opt.no_ganFeat_loss is False
+    # False-default bools get only the plain store_true flag
+    opt = parse_options(["--no_ganFeat_loss"], is_train=True, save=False)
+    assert opt.no_ganFeat_loss is True

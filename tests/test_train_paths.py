@@ -98,6 +98,20 @@ def test_process_sharded_loader():
     assert batches[0][1] == [4, 5] and batches[1][1] == [6, 7]
 
 
+def test_process_sharded_loader_rejects_uneven_tail():
+    """A tail batch not divisible by process_count would hand processes
+    unequal local shards (unassemblable by
+    make_array_from_process_local_data) — the loader must hard-error
+    (loader.py _load)."""
+    dl = DataLoader(_IdxDataset(7), batch_size=4, shuffle=False,
+                    drop_last=False, prefetch=0,
+                    process_index=0, process_count=2)
+    it = iter(dl)
+    assert next(it)["idx"][:, 0].tolist() == [0, 1]
+    with pytest.raises(ValueError, match="divisible"):
+        next(it)  # tail of 3 over 2 processes
+
+
 def test_device_prefetch_order():
     dl = DataLoader(_IdxDataset(6), batch_size=2, shuffle=False,
                     drop_last=True, prefetch=0)

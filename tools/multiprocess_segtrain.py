@@ -139,7 +139,14 @@ def main() -> int:
     for out in (t2, t2b):
         procs = [_spawn(base + ["--pid", str(i), "--nprocs", "2",
                                 "--trace_out", out]) for i in range(2)]
-        rcs = [p.wait(timeout=1800) for p in procs]
+        try:
+            rcs = [p.wait(timeout=1800) for p in procs]
+        finally:
+            # one worker dying early leaves its peer blocked in a gloo
+            # barrier/collective — never leave orphans behind
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         assert rcs == [0, 0], f"2-process arm failed: {rcs}"
 
     one = json.load(open(t1))
