@@ -66,6 +66,32 @@ def make_mesh(opt=None, data: Optional[int] = None,
     return Mesh(devs, ("data", "model"))
 
 
+def default_data_mesh(batch_size: int, warn=print) -> Optional[Mesh]:
+    """Data-parallel mesh over all attached devices when the global batch
+    divides them; None (single-device semantics) otherwise.
+
+    The TPU-native default for the RefineNet/segtrain CLIs: one chip
+    degenerates to a mesh-free run, a pod slice gets DP for free.  The
+    mesh-free fallback is only legal single-process — under multi-process
+    DP the loaders already yield per-process shards (data/loader.py), so
+    running without a mesh would silently train one UNSYNCHRONIZED model
+    per host on disjoint data; that case is a hard error, not a fallback.
+    """
+    n = jax.device_count()
+    if n <= 1:
+        return None
+    if batch_size % n:
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"{n} devices under multi-process DP (process-sharded "
+                f"loaders make the mesh-free fallback invalid)")
+        warn(f"batch_size {batch_size} not divisible by {n} devices — "
+             f"running single-device (pick a divisible batch size for DP)")
+        return None
+    return make_mesh(None, data=n, model=1)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -158,19 +158,25 @@ def default_mesh(cfg: RefineNetConfig):
     """Data-parallel mesh over all attached devices, when the batch divides
     them; None (single-device semantics) otherwise.  The TPU-native default
     for the RefineNet CLIs — one chip degenerates to a 1-device mesh-free
-    run, a pod slice gets DP for free."""
-    n = jax.device_count()
-    if n <= 1:
-        return None
-    if cfg.batch_size % n:
-        logger.warning(
-            "batch_size %d not divisible by %d devices — running "
-            "single-device (pick a divisible batch_size for DP)",
-            cfg.batch_size, n)
-        return None
-    from seg2eye_tpu.parallel.sharding import make_mesh
-    mesh = make_mesh(None, data=n, model=1)
-    logger.info("data-parallel mesh over %d devices", n)
+    run, a pod slice gets DP for free.
+
+    Single-process only: the RefineNet CLIs build UNSHARDED loaders, which
+    shard_batch would misread as per-process shards under multi-process DP
+    (every host's full batch assembled as if it were 1/N of a global one) —
+    refuse loudly instead of silently training on duplicated data.  For
+    multi-host runs use the seg2eye train loop or segtrain, whose loaders
+    process-shard (data/loader.py)."""
+    if jax.process_count() > 1:
+        raise RuntimeError(
+            "RefineNet/SegNet CLIs are single-process (multi-device DP "
+            "only); their loaders are not process-sharded, so multi-process "
+            "runs would silently duplicate every batch")
+    from seg2eye_tpu.parallel.sharding import default_data_mesh
+    mesh = default_data_mesh(cfg.batch_size,
+                             warn=lambda m: logger.warning("%s", m))
+    if mesh is not None:
+        logger.info("data-parallel mesh over %d devices",
+                    mesh.shape["data"])
     return mesh
 
 

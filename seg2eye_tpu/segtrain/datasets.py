@@ -402,9 +402,19 @@ def make_data_loader(args, seed: int = 0):
 
     def loader(ds, shuffle):
         # batch_size is GLOBAL; under multi-host DP each process loads
-        # only its contiguous shard of every batch (loader.py:64-72)
+        # only its contiguous shard of every batch (loader.py:64-72).
+        # Multi-process also forces drop_last on the val/test loaders: a
+        # tail batch can neither be process-sharded (unequal local shards)
+        # nor replicated from process-local data, so eval covers
+        # floor(N/batch) * batch images there (single-process keeps the
+        # reference's full-coverage drop_last=False).
+        drop = shuffle or jax.process_count() > 1
+        if drop and not shuffle and len(ds) % args.batch_size:
+            print(f"[multi-process DP] dropping the {len(ds) % args.batch_size}"
+                  f"-sample eval tail of {ds.__class__.__name__} "
+                  f"({len(ds)} % batch {args.batch_size})")
         return DataLoader(ds, batch_size=args.batch_size, shuffle=shuffle,
-                          drop_last=shuffle, seed=seed,
+                          drop_last=drop, seed=seed,
                           prefetch=min(2, args.workers),
                           process_index=jax.process_index(),
                           process_count=jax.process_count())

@@ -2,7 +2,11 @@
 
 Parity notes (reference: refinenet/deeplab/utils/saver.py):
   * run/<dataset>/<checkname>/experiment_<id> with id = last existing + 1
-    (saver.py:9-17);
+    (saver.py:9-17).  The glob sort is LEXICOGRAPHIC like the reference's:
+    with 11+ runs, experiment_9 sorts after experiment_10, so run_id
+    collides with an existing dir and its checkpoint.ckpt gets overwritten
+    — a faithful reference quirk, kept (documented in PARITY.md; zero-pad
+    checknames or use one checkname per experiment to avoid it);
   * save_checkpoint writes checkpoint.ckpt (the torch .pth.tar, here flax
     msgpack bytes); when is_best, best_pred.txt is written and the
     checkpoint is promoted to <directory>/model_best.ckpt only if it beats

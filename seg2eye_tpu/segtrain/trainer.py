@@ -74,12 +74,11 @@ def make_optimizer(args) -> optax.GradientTransformation:
 
 
 def default_mesh(batch_size: int):
-    """Data-parallel mesh over all devices when the batch divides them."""
-    n = jax.device_count()
-    if n <= 1 or batch_size % n:
-        return None
-    from seg2eye_tpu.parallel.sharding import make_mesh
-    return make_mesh(None, data=n, model=1)
+    """Data-parallel mesh over all devices when the batch divides them
+    (hard error instead of a silent mesh-free fallback under multi-process
+    DP — see parallel.sharding.default_data_mesh)."""
+    from seg2eye_tpu.parallel.sharding import default_data_mesh
+    return default_data_mesh(batch_size)
 
 
 class SegTrainer:
@@ -115,8 +114,17 @@ class SegTrainer:
             if os.path.isfile(path):
                 weight = np.load(path)
             else:
+                # full-dataset pass (reference semantics): the train loader
+                # is process-sharded under multi-host DP, so build a
+                # non-sharded loader — every host derives IDENTICAL weights
+                # (they are baked into the jitted step as constants)
+                from seg2eye_tpu.data.loader import DataLoader
+                full = DataLoader(self.train_loader.dataset,
+                                  batch_size=args.batch_size,
+                                  shuffle=False, drop_last=False, prefetch=0)
                 weight = calculate_weights_labels(
-                    root, args.dataset, self.train_loader, self.nclass)
+                    root, args.dataset, full, self.nclass,
+                    save=self._primary)
         self.criterion = SegmentationLosses(
             weight=weight).build_loss(mode=args.loss_type)
 

@@ -60,22 +60,25 @@ def export_inference(model: Pix2Pix, variables: Dict, out_dir: str,
 
     The batch dimension is symbolic — one artifact serves any batch size.
     ``k`` (style references per sample, default opt.input_ns) is baked into
-    the program, as is the native eval size (w,h) and every Options field
-    the forward math reads.
+    the program, as is the native eval size ``native_hw`` — (H, W), the same
+    convention as eval/tester.py _native_hw; OpenEDS native is (640, 400) —
+    and every Options field the forward math reads.
     """
     from jax import export as jexport
 
     opt = model.opt
     k = int(opt.input_ns if k is None else k)
     h, w = opt.image_height, opt.image_width
-    native_w, native_h = int(native_hw[0]), int(native_hw[1])
+    native_h, native_w = int(native_hw[0]), int(native_hw[1])
 
     fn = _serving_fn(model, native_h, native_w)
     (b,) = jexport.symbolic_shape("b")
     label_spec = jax.ShapeDtypeStruct((b, h, w), jnp.uint8)
     style_spec = jax.ShapeDtypeStruct((b, k, h, w, 1), jnp.uint8)
+    # dtype/shape probe must not move host-resident weights to the device
+    # (over a remote-TPU tunnel that is a full wasted model upload)
     var_specs = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         {"E": variables["E"], "G": variables["G"]})
     exported = jexport.export(jax.jit(fn), platforms=list(platforms))(
         var_specs, label_spec, style_spec)
@@ -111,7 +114,7 @@ def export_inference(model: Pix2Pix, variables: Dict, out_dir: str,
                       "style_aggr_method", "compute_dtype",
                       "eval_use_running_stats")
         },
-        "native_hw": [native_w, native_h],
+        "native_hw": [native_h, native_w],
     }
     with open(os.path.join(out_dir, META), "w") as f:
         json.dump(meta, f, indent=2, default=str)

@@ -418,6 +418,26 @@ def test_make_data_loader_pascal(tmp_path):
     assert batch["label"].shape == (2, 24, 24)
 
 
+def test_make_data_loader_multiprocess_drops_eval_tail(tmp_path, monkeypatch):
+    """Under multi-process DP the val loader must drop a tail batch (it can
+    neither be process-sharded evenly nor replicated from process-local
+    data) — single-process keeps the reference's full-coverage
+    drop_last=False."""
+    root = str(tmp_path)
+    make_voc(root, ["a", "b", "c"], ["v", "w", "x"])   # val size 3
+    args = Args(data_root=root, base_size=32, crop_size=24, use_sbd=False,
+                batch_size=2)
+    _, val_single, _, _ = make_data_loader(args)
+    assert val_single.drop_last is False and len(val_single) == 2
+
+    import jax as _jax
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
+    monkeypatch.setattr(_jax, "process_index", lambda: 0)
+    train, val, _, _ = make_data_loader(args)
+    assert val.drop_last is True and len(val) == 1     # 3-sample val, tail dropped
+    assert train.drop_last is True
+
+
 def test_calculate_weights_labels(tmp_path):
     from seg2eye_tpu.segtrain.weights import calculate_weights_labels
     batches = [{"label": np.array([[0, 0, 1, 255]], np.float32)},

@@ -23,7 +23,8 @@ def artifact(tmp_path_factory):
     model = Pix2Pix(opt)
     variables = model.init_variables(jax.random.PRNGKey(0))
     out = str(tmp_path_factory.mktemp("serving") / "artifact")
-    export_inference(model, variables, out, native_hw=(40, 64),
+    # native_hw is (H, W) — the tester/_native_hw convention
+    export_inference(model, variables, out, native_hw=(64, 40),
                      platforms=("cpu",))
     return out, model, variables, opt
 
@@ -80,7 +81,7 @@ def test_meta_spec(artifact):
     meta = served.meta
     assert meta["inputs"]["label"]["dtype"] == "uint8"
     assert meta["baked_options"]["w_dim"] == opt.w_dim
-    assert meta["native_hw"] == [40, 64]
+    assert meta["native_hw"] == [64, 40]
 
 
 def test_no_model_code_needed(artifact, tmp_path):
@@ -98,3 +99,16 @@ def test_no_model_code_needed(artifact, tmp_path):
     label, style = _batch(opt, 3, seed=9)
     fake, f255 = jax.jit(exported.call)(v, label, style)
     assert fake.shape == (3, 32, 32, 1)
+
+
+def test_default_native_orientation(tmp_path):
+    """The default export bakes the OpenEDS native eval size in the SAME
+    orientation the Tester scores at: H=640, W=400 (eval/tester.py
+    _native_hw, ops/image.py to_255resized defaults) — regression for a
+    (w,h) unpack that transposed the default fake_255 output."""
+    opt = small_opt()
+    model = Pix2Pix(opt)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    exported = export_inference(model, variables, str(tmp_path / "art"),
+                                platforms=("cpu",))
+    assert tuple(exported.out_avals[1].shape[1:]) == (640, 400, 1)

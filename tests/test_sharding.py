@@ -199,3 +199,21 @@ def test_spatial_sharded_inference_matches():
     infer = jax.jit(lambda v, b: model.inference(v, b, constrain=cs))
     out = np.asarray(infer(replicate_state(variables, mesh), db))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_default_data_mesh_fallbacks(monkeypatch):
+    """Non-dividing batch: single-process falls back to mesh-free with a
+    warning; multi-process hard-errors (process-sharded loaders make the
+    mesh-free path silently train unsynchronized per-host models)."""
+    from seg2eye_tpu.parallel import sharding as sh
+
+    n = jax.device_count()
+    assert sh.default_data_mesh(n * 2).shape["data"] == n
+
+    warnings = []
+    assert sh.default_data_mesh(n * 2 + 1, warn=warnings.append) is None
+    assert warnings and "not divisible" in warnings[0]
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="multi-process"):
+        sh.default_data_mesh(n * 2 + 1)

@@ -38,7 +38,8 @@ def main() -> int:
                     help="comma-separated lowering targets baked into the "
                          "artifact")
     ap.add_argument("--native_hw", default="640,400",
-                    help="native eval size W,H for the [0,255] output")
+                    help="native eval size H,W for the [0,255] output "
+                         "(OpenEDS native: 640,400)")
     ap.add_argument("--verify", action="store_true",
                     help="reload the artifact and compare against the live "
                          "model on a random batch")
@@ -62,8 +63,8 @@ def main() -> int:
                                   load_optim=False, strict=True)
     out_dir = args.out_dir or os.path.join(
         opt.expr_dir, f"serving_{args.which_epoch}")
-    nw, nh = (int(v) for v in args.native_hw.split(","))
-    export_inference(model, state.variables, out_dir, native_hw=(nw, nh),
+    nh, nw = (int(v) for v in args.native_hw.split(","))
+    export_inference(model, state.variables, out_dir, native_hw=(nh, nw),
                      platforms=tuple(args.platforms.split(",")))
     size = sum(os.path.getsize(os.path.join(out_dir, f))
                for f in os.listdir(out_dir))
@@ -77,15 +78,24 @@ def main() -> int:
         label = rng.integers(0, opt.semantic_nc, (2, h, w)).astype(np.uint8)
         style = rng.integers(0, 256, (2, opt.input_ns, h, w, 1)
                              ).astype(np.uint8)
-        fake_s, f255 = served(label, style)
+        fake_s, f255_s = served(label, style)
         import jax.numpy as jnp
-        fake = np.asarray(model.inference(
+        from seg2eye_tpu.ops.image import to_255resized
+        fake = model.inference(
             state.variables,
-            {"label": jnp.asarray(label), "style_image": jnp.asarray(style)}))
+            {"label": jnp.asarray(label), "style_image": jnp.asarray(style)})
+        f255 = np.asarray(to_255resized(fake, w=nw, h=nh))
+        fake = np.asarray(fake)
         diff = np.abs(fake_s - fake).max()
-        print(f"verify: max|artifact - live| = {diff:.2e} "
-              f"({'OK' if diff < 1e-4 else 'MISMATCH'})")
-        return 0 if diff < 1e-4 else 1
+        # resized [0,255] output: same shape (incl. H/W orientation) and
+        # at most one truncated-integer step of drift
+        d255 = (np.abs(f255_s - f255).max()
+                if f255_s.shape == f255.shape else np.inf)
+        ok = diff < 1e-4 and d255 <= 1
+        print(f"verify: max|artifact - live| = {diff:.2e}, "
+              f"fake_255 {f255_s.shape} drift {d255:.0f} "
+              f"({'OK' if ok else 'MISMATCH'})")
+        return 0 if ok else 1
     return 0
 
 

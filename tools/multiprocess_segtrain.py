@@ -36,7 +36,23 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PORT = int(os.environ.get("SEG2EYE_MPSEG_PORT", "29813"))
+
+
+def _pick_port() -> int:
+    """A free TCP port for the jax.distributed coordinator.  A fixed
+    default collides with stale workers from an interrupted earlier run
+    (observed as both workers dying with rc=1); the launcher picks a fresh
+    one per invocation and hands it to workers via SEG2EYE_MPSEG_PORT."""
+    if "SEG2EYE_MPSEG_PORT" in os.environ:
+        return int(os.environ["SEG2EYE_MPSEG_PORT"])
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+PORT = _pick_port()
+os.environ["SEG2EYE_MPSEG_PORT"] = str(PORT)          # inherited by spawned workers
 
 
 def run_arm(pid: int, nprocs: int, dataroot: str, out_path: str,
