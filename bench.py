@@ -93,16 +93,27 @@ def _setup(bs: int, reuse_fake: bool):
 
 def measure(bs_candidates, steps_n: int, reuse_fake: bool):
     state = steps = batch = None
-    for bs in bs_candidates:
-        try:
-            state, steps, batch = _setup(bs, reuse_fake)
+    for ci, bs in enumerate(bs_candidates):
+        # the preferred (first) batch size gets ONE retry after a backend
+        # reset: a transient tunnel/device wedge (e.g. HBM left allocated by
+        # a killed earlier run) must not silently degrade the headline bs
+        for attempt in range(2 if ci == 0 else 1):
+            try:
+                state, steps, batch = _setup(bs, reuse_fake)
+                break
+            # degrade batch size ONLY on resource/compile failures (OOM,
+            # remote compile-helper crashes); numerical or shape regressions
+            # (ValueError/TypeError/AssertionError/NaN) must fail loudly
+            except (jax.errors.JaxRuntimeError, RuntimeError,
+                    MemoryError) as e:
+                print(f"[bench] bs={bs} attempt {attempt + 1} failed "
+                      f"({type(e).__name__}: {str(e)[:200]})",
+                      file=sys.stderr)
+                import jax.extend.backend
+                jax.clear_caches()
+                jax.extend.backend.clear_backends()
+        if state is not None:
             break
-        # degrade batch size ONLY on resource/compile failures (OOM, remote
-        # compile-helper crashes); numerical or shape regressions
-        # (ValueError/TypeError/AssertionError/NaN asserts) must fail loudly
-        except (jax.errors.JaxRuntimeError, RuntimeError, MemoryError) as e:
-            print(f"[bench] bs={bs} failed ({type(e).__name__}); "
-                  f"trying smaller", file=sys.stderr)
     assert state is not None, "no batch size compiled"
     bs = batch["target"].shape[0]
 
