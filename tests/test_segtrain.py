@@ -560,3 +560,22 @@ def test_trainer_dp_matches_single_device(tmp_path, monkeypatch):
     l_dp = dp.training(0)
     l_sd = sd.training(0)
     assert np.isclose(l_dp, l_sd, rtol=2e-4), (l_dp, l_sd)
+
+
+def test_trainer_nonprimary_host_writes_nothing(voc_env, monkeypatch):
+    """Host-0 convention under multi-host DP (trainer.py): a non-primary
+    SegTrainer must not write parameters.txt or checkpoints and its TB
+    writer no-ops, but it still trains and tracks best_pred (so every
+    process agrees on is_best decisions)."""
+    import jax as _jax
+    monkeypatch.setattr(_jax, "process_index", lambda: 1)
+    from seg2eye_tpu.segtrain.trainer import SegTrainer
+    t = SegTrainer(_tiny_args(voc_env))
+    assert t._primary is False and t.writer.writer is None
+    assert not os.path.exists(os.path.join(t.saver.experiment_dir,
+                                           "parameters.txt"))
+    t.training(0)
+    miou = t.validation(0)
+    assert t.best_pred == miou
+    assert not os.path.exists(os.path.join(t.saver.experiment_dir,
+                                           "checkpoint.ckpt"))
