@@ -73,7 +73,13 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        # The epoch shuffle MUST stay identical across processes (every
+        # process slices the same global permutation), so it gets its own
+        # generator that nothing else consumes.  Per-sample augmentation
+        # draws use a fresh generator seeded by (seed, epoch, global index)
+        # in _sample_rng — see there.
+        self._shuffle_rng = np.random.default_rng(seed)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -86,7 +92,7 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(order)
+            self._shuffle_rng.shuffle(order)
         batches = []
         for i in range(0, n, self.batch_size):
             b = order[i:i + self.batch_size]
@@ -105,16 +111,28 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # stop-aware put: an abandoned iteration (consumer broke out
+            # early) must not leave the worker blocked forever on a full
+            # queue, pinning a batch and the H5 handle (same pattern as
+            # device_prefetch below)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for idxs in batches:
-                    if stop.is_set():
-                        break
-                    q.put(self._load(idxs))
+                    if stop.is_set() or not _put(self._load(idxs)):
+                        return
             except BaseException as e:             # surface worker failures
-                q.put(e)
+                _put(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -151,13 +169,25 @@ class DataLoader:
             local = len(idxs) // self.process_count
             lo = self.process_index * local
             idxs = idxs[lo:lo + local]
-        items = [self.dataset.__getitem__(int(i), rng=self._rng)
+        items = [self.dataset.__getitem__(int(i), rng=self._sample_rng(i))
                  for i in idxs]
         return collate(items)
 
+    def _sample_rng(self, idx) -> np.random.Generator:
+        """Per-sample generator seeded by (seed, epoch, GLOBAL index).
+
+        A single shared stream would break multi-process DP: each process
+        draws only for its shard, so draw counts diverge and any later
+        shared use (the epoch shuffle) desynchronizes.  Per-sample seeding
+        makes every sample's augmentation independent of process layout,
+        batch order, and prefetch timing — a 2-process run draws exactly
+        what the single-process run draws for the same (epoch, sample)."""
+        return np.random.default_rng((self.seed, self._epoch, int(idx)))
+
     def get_particular(self, idx: int) -> Dict:
         """Single-sample batch (openeds_dataset.py:121-127 get_particular)."""
-        return collate([self.dataset.__getitem__(int(idx), rng=self._rng)])
+        return collate([self.dataset.__getitem__(
+            int(idx), rng=self._sample_rng(idx))])
 
 
 def device_prefetch(iterator, put_fn, depth: int = 1):

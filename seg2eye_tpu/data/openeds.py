@@ -143,7 +143,13 @@ class OpenEDSDataset:
         user, within = self._locate(index)
         grp = self.h5[user]
         mask = grp[self.keys["labels"]][within]
-        params = transforms.get_params(self.opt, rng)
+        # reference quirk, reproduced: openeds_dataset.py:89 passes
+        # ``mask.shape`` — numpy (H, W) order — into get_params' ``w, h =
+        # size`` unpack, so the *_and_crop position domains are computed
+        # from a TRANSPOSED source size (biased crops; inert in the default
+        # 'fixed' mode).  PARITY.md "swapped crop domain".
+        params = transforms.get_params(self.opt, rng,
+                                       size=tuple(mask.shape[:2]))
 
         filename = grp[self.keys["filenames"]][within].decode("utf-8")
         filename = re.sub(r"\.", "", filename)

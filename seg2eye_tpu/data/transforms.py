@@ -170,7 +170,21 @@ def _apply_spatial(img: np.ndarray, opt, params: Dict,
 
     if "crop" in mode:
         x, y = params.get("crop_pos", (0, 0))
+        # clamp into range: the reference's crop domain is computed from a
+        # (w,h)-SWAPPED source size (see get_params' caller note), so the
+        # position can exceed the resized extent for some aspect ratios —
+        # PIL's img.crop pads silently there; we prefer an in-bounds
+        # full-content crop, and zero-pad (PIL's black) only when the
+        # extent itself is smaller than crop_size (static output shapes)
+        y = min(y, max(0, img.shape[0] - opt.crop_size))
+        x = min(x, max(0, img.shape[1] - opt.crop_size))
         img = img[y:y + opt.crop_size, x:x + opt.crop_size]
+        ph = opt.crop_size - img.shape[0]
+        pw = opt.crop_size - img.shape[1]
+        if ph > 0 or pw > 0:
+            pad = [(0, max(0, ph)), (0, max(0, pw))]
+            pad += [(0, 0)] * (img.ndim - 2)
+            img = np.pad(img, pad)
 
     if mode == "none":
         base = 32

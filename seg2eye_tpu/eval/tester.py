@@ -48,6 +48,7 @@ class Tester:
             opt.checkpoints_dir, opt.name, self.opt.results_dir, dataset_key)
         os.makedirs(self.results_dir, exist_ok=True)
         self._fwd = None
+        self._score = None
         self._rng = np.random.default_rng(self.opt.seed)
         # --spatial_shard: context-parallel eval — H-band activations over
         # the 'data' mesh axis (a low-batch eval uses every chip; see
@@ -80,12 +81,38 @@ class Tester:
             self._fwd = jax.jit(fwd, static_argnums=(3, 4))
         return self._fwd
 
-    def _place(self, variables, batch: Dict):
+    def _score_fn(self, model: Pix2Pix):
+        """Scored eval is ONE jitted program (inference -> native resize ->
+        truncating [0,255] -> per-image error): the per-batch eager metric
+        ops and the unconditional full-image device_get this replaces were
+        the eval-loop bottleneck over a remote-TPU tunnel."""
+        if self._score is None:
+            constrain = None
+            if self.mesh is not None:
+                from seg2eye_tpu.parallel.sharding import spatial_constraint
+                constrain = spatial_constraint(self.mesh)
+
+            def fn(variables, label, style, target, h, w):
+                fake = model.inference(variables, {"label": label,
+                                                   "style_image": style},
+                                       constrain=constrain)
+                fake_resized = to_255resized(fake, w=w, h=h)
+                errors = metrics.mse_for_images(
+                    fake_resized, target.astype(jnp.float32))
+                return errors, fake
+            self._score = jax.jit(fn, static_argnums=(4, 5))
+        return self._score
+
+    def _place(self, variables, batch: Dict, target: bool = False):
         """Device placement for one eval batch (+ variables, cached): plain
-        jnp arrays single-device, H-band sharded under --spatial_shard."""
+        jnp arrays single-device, H-band sharded under --spatial_shard.
+        With ``target`` also places batch['target_original'] (replicated
+        under the mesh — the native-size ground truth is not H-band-split)."""
         if self.mesh is None:
-            return variables, jnp.asarray(batch["label"]), \
-                jnp.asarray(batch["style_image"])
+            out = (variables, jnp.asarray(batch["label"]),
+                   jnp.asarray(batch["style_image"]))
+            return out + ((jnp.asarray(batch["target_original"]),)
+                          if target else ())
         from jax.sharding import NamedSharding, PartitionSpec
         from seg2eye_tpu.parallel.sharding import shard_batch_spatial
         if self._placed_vars is None or self._placed_vars[0] is not variables:
@@ -95,7 +122,12 @@ class Tester:
         db = shard_batch_spatial({"label": batch["label"],
                                   "style_image": batch["style_image"]},
                                  self.mesh)
-        return self._placed_vars[1], db["label"], db["style_image"]
+        out = (self._placed_vars[1], db["label"], db["style_image"])
+        if target:
+            out += (jax.device_put(
+                np.asarray(batch["target_original"]),
+                NamedSharding(self.mesh, PartitionSpec())),)
+        return out
 
     def _native_hw(self, batch: Dict):
         """Score at the dataset's native resolution — 640x400 for OpenEDS
@@ -105,14 +137,17 @@ class Tester:
             return batch["target_original"].shape[1:3]
         return (640, 400)
 
-    def run_batch(self, batch: Dict, model: Pix2Pix, variables):
-        fwd = self._forward_fn(model)
+    def run_batch(self, batch: Dict, model: Pix2Pix, variables,
+                  need_fake: bool = True):
+        """-> (per-image errors, fake or None).  ``need_fake=False`` skips
+        the full-image device->host transfer (only the tiny error vector
+        crosses back) — run_validation needs fake only for the error log."""
+        fn = self._score_fn(model)
         h, w = self._native_hw(batch)
-        variables, label, style = self._place(variables, batch)
-        fake, fake_resized = fwd(variables, label, style, h, w)
-        target = jnp.asarray(batch["target_original"]).astype(jnp.float32)
-        errors = np.asarray(metrics.mse_for_images(fake_resized, target))
-        return errors, np.asarray(fake), np.asarray(fake_resized)
+        variables, label, style, target = self._place(variables, batch,
+                                                      target=True)
+        errors, fake = fn(variables, label, style, target, h, w)
+        return np.asarray(errors), (np.asarray(fake) if need_fake else None)
 
     # ------------------------------------------------------------------ #
     def _iterator(self, indices: Optional[List[int]]):
@@ -141,11 +176,14 @@ class Tester:
                            dtype=np.uint8)
         return log
 
-    def _write_error_log_batch(self, log, batch, i, fake, errors):
+    def _write_error_log_batch(self, log, batch, lo, fake, errors):
+        """``lo`` is the running count of samples already written — NOT
+        batch_index * batchSize: 'rand'/'fix' modes iterate single-sample
+        batches (get_particular), where stride-batchSize offsets would
+        scatter entries and overrun the dataset."""
         vis = visualize_sidebyside({**batch, "fake": fake},
                                    error_list=errors)
-        bs = self.opt.batchSize
-        lo, hi = i * bs, i * bs + len(errors)
+        hi = lo + len(errors)
         log["user"][lo:hi] = np.array(batch["user"], dtype="S4")
         log["filename"][lo:hi] = np.array(batch["filename"], dtype="S13")
         log["error"][lo:hi] = errors
@@ -167,10 +205,12 @@ class Tester:
                 print(f"Processing batch {i}")
                 print(f"Error so far: "
                       f"{np.sum(all_errors) / max(len(all_errors), 1) * metrics.RELATIVE_FACTOR}")
-            errors, fake, _ = self.run_batch(batch, model, variables)
-            all_errors += list(errors)
+            errors, fake = self.run_batch(
+                batch, model, variables, need_fake=log is not None)
             if log is not None:
-                self._write_error_log_batch(log, batch, i, fake, errors)
+                self._write_error_log_batch(log, batch, len(all_errors),
+                                            fake, errors)
+            all_errors += list(errors)
         if log is not None:
             log.close()
         return all_errors
@@ -251,7 +291,7 @@ class Tester:
         results, error_list = [], []
         for idx in (indices if indices is not None else range(limit)):
             batch = self.dataloader.get_particular(int(idx))
-            errors, fake, _ = self.run_batch(batch, model, variables)
+            errors, fake = self.run_batch(batch, model, variables)
             batch["fake"] = fake
             results.append(batch)
             error_list.append(errors)

@@ -21,6 +21,7 @@ from seg2eye_tpu.options import Options
 from seg2eye_tpu.train import state as state_lib
 from seg2eye_tpu.train.steps import StepFunctions
 from seg2eye_tpu.utils import checkpoint
+from seg2eye_tpu.utils import files
 from seg2eye_tpu.utils.files import copy_src
 from seg2eye_tpu.utils.iter_counter import IterationCounter
 from seg2eye_tpu.utils.visualizer import Visualizer
@@ -43,8 +44,21 @@ def train(opt: Options, max_steps: Optional[int] = None,
     ``step_hook(step, losses)`` (optional) fires after every optimizer step
     with the 1-based step index and the device loss dict — full-precision
     observability for convergence/equivalence studies (the RefineNet loop's
-    ``step_callback`` counterpart)."""
-    copy_src(".", opt.expr_dir)
+    ``step_callback`` counterpart).
+
+    Multi-process DP (jax.process_count() > 1): computation stays symmetric
+    across processes (the fused step runs on global arrays), but only
+    process 0 touches the shared run directory — src.zip, checkpoints,
+    iter.txt, loss_log/tensorboard, and the periodic Tester evals (which
+    run on a host copy of the variables: the Tester's own loaders and
+    placement are process-local, so they must not consume global arrays).
+    """
+    primary = jax.process_index() == 0
+    multiproc = jax.process_count() > 1
+    if primary:
+        # anchored to the framework checkout, not cwd: launching the CLI
+        # from elsewhere must not snapshot an unrelated directory tree
+        copy_src(files.project_root(), opt.expr_dir)
 
     dataloader = create_dataloader(opt)
     model = Pix2Pix(opt)
@@ -74,6 +88,7 @@ def train(opt: Options, max_steps: Optional[int] = None,
 
     max_steps = max_steps or (opt.max_steps or None)
     last_losses: Dict = {}
+    g_losses: Dict = {}        # latest G losses (D_steps_per_G > 1 reporting)
     n_iters = 0
     stop = False
     profiling = False
@@ -94,12 +109,13 @@ def train(opt: Options, max_steps: Optional[int] = None,
                     state, losses, generated = steps.train_step(state, db)
                 else:
                     if i % opt.D_steps_per_G == 0:
-                        state, g_losses, generated = steps.g_step(state, db)
-                        losses = dict(g_losses)
-                    else:
-                        losses = {}
+                        state, g_raw, generated = steps.g_step(state, db)
+                        g_losses = dict(g_raw)
+                    # D-only iterations keep reporting the LATEST generator
+                    # losses (reference get_latest_losses merges the stored
+                    # g_losses with each d_losses, pix2pix_trainer.py:47-53)
                     state, d_losses = steps.d_step(state, db)
-                    losses.update(d_losses)
+                    losses = {**g_losses, **d_losses}
                 last_losses = losses
                 n_iters += 1
                 if step_hook is not None:
@@ -123,32 +139,44 @@ def train(opt: Options, max_steps: Optional[int] = None,
                               os.path.join(opt.expr_dir, "profile"))
 
                 if iter_counter.needs_printing():
+                    # the mean itself is symmetric across processes (losses
+                    # are global arrays); only the file/console logging is
+                    # host-0's
                     host_losses = {k: float(jnp.mean(v))
                                    for k, v in losses.items()}
-                    visualizer.print_current_errors(
-                        epoch, iter_counter.total_steps_so_far, host_losses,
-                        iter_counter.time_per_iter)
-                    visualizer.plot_current_errors(
-                        host_losses, iter_counter.total_steps_so_far)
+                    if primary:
+                        visualizer.print_current_errors(
+                            epoch, iter_counter.total_steps_so_far,
+                            host_losses, iter_counter.time_per_iter)
+                        visualizer.plot_current_errors(
+                            host_losses, iter_counter.total_steps_so_far)
 
-                if iter_counter.needs_displaying():
+                # Tester placement/loaders are process-local: under
+                # multi-process DP only host 0 evaluates, on a HOST COPY of
+                # the variables (a process-local jit must not consume the
+                # training loop's global arrays)
+                if iter_counter.needs_displaying() and primary:
+                    eval_vars = jax.device_get(state.variables) \
+                        if multiproc else state.variables
                     for tester in (tester_train, tester_validation):
                         tester.run_partial_modes(
-                            model, state.variables,
+                            model, eval_vars,
                             epoch=epoch,
                             n_steps=iter_counter.total_steps_so_far,
                             log=True, visualize_images=opt.tf_log,
                             limit=min(opt.validation_limit, tester.N))
 
-                if iter_counter.needs_saving():
+                if iter_counter.needs_saving() and primary:
                     print("saving the latest model (epoch %d, total_steps %d)"
                           % (epoch, iter_counter.total_steps_so_far))
                     checkpoint.save_state(state, opt, "latest")
                     iter_counter.record_current_iter()
 
-                if iter_counter.needs_full_validation():
+                if iter_counter.needs_full_validation() and primary:
+                    eval_vars = jax.device_get(state.variables) \
+                        if multiproc else state.variables
                     for tester in (tester_train, tester_validation):
-                        tester.run(model, state.variables, mode="full",
+                        tester.run(model, eval_vars, mode="full",
                                    epoch=epoch,
                                    n_steps=iter_counter.total_steps_so_far,
                                    log=True,
@@ -159,8 +187,8 @@ def train(opt: Options, max_steps: Optional[int] = None,
                     break
 
             iter_counter.record_epoch_end()
-            if epoch % opt.save_epoch_freq == 0 or \
-                    epoch == iter_counter.total_epochs:
+            if (epoch % opt.save_epoch_freq == 0 or
+                    epoch == iter_counter.total_epochs) and primary:
                 print("saving the model at the end of epoch %d, iters %d"
                       % (epoch, iter_counter.total_steps_so_far))
                 checkpoint.save_state(state, opt, "latest")
@@ -178,8 +206,9 @@ def train(opt: Options, max_steps: Optional[int] = None,
             jax.profiler.stop_trace()
             print("profile written to",
                   os.path.join(opt.expr_dir, "profile"))
-        print("saving the model before quitting")
-        checkpoint.save_state(state, opt, "latest")
-        iter_counter.record_current_iter()
+        if primary:
+            print("saving the model before quitting")
+            checkpoint.save_state(state, opt, "latest")
+            iter_counter.record_current_iter()
     return {"losses": {k: float(jnp.mean(v)) for k, v in last_losses.items()},
             "steps": n_iters, "state": state}

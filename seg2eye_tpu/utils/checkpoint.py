@@ -24,8 +24,11 @@ def _path(opt, epoch, name: str) -> str:
 
 
 def _atomic_write(path: str, data: bytes) -> None:
-    # write-then-rename: a concurrent reader never sees a partial checkpoint
-    tmp = path + ".tmp"
+    # write-then-rename: a concurrent reader never sees a partial checkpoint.
+    # pid-unique tmp name: two same-host writers (e.g. a misconfigured
+    # multi-process run without the host-0 guard) must not truncate each
+    # other's in-flight tmp file — last rename wins with an intact file
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)

@@ -7,6 +7,13 @@ import os
 import zipfile
 
 
+def project_root() -> str:
+    """The framework checkout (parent of the seg2eye_tpu package) — the
+    tree the snapshot should capture regardless of the CLI's cwd."""
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
 def copy_src(path_from: str, path_to: str) -> str:
     os.makedirs(path_to, exist_ok=True)
     out = os.path.join(path_to, "src.zip")

@@ -107,12 +107,16 @@ def test_flip_consistency(h5_paths):
     opt = opt_for(data)
     ds = OpenEDSDataset(opt, dataset_key="train")
 
-    # find rngs producing flip=True and flip=False
+    # find rngs producing flip=True and flip=False (via get_params itself:
+    # the crop-position draws consume seed-dependent amounts of entropy, so
+    # the flip coin is not simply the generator's first draw)
+    from seg2eye_tpu.data import transforms
+
     def item_with(flip):
         for s in range(50):
-            rng = np.random.default_rng(s)
-            probe = rng.random()
-            if (probe > 0.5) == flip:
+            p = transforms.get_params(opt, np.random.default_rng(s),
+                                      size=(64, 40))
+            if p["flip"] == flip:
                 return ds.__getitem__(0, rng=np.random.default_rng(s))
         raise AssertionError
     it_f = item_with(True)
@@ -179,3 +183,28 @@ def test_resize_cache_disabled_outside_fixed(h5_paths):
                                 load_size=32, host_cache_mb=64),
                         dataset_key="train")
     assert ds._cache is None
+
+
+def test_get_params_swapped_source_size_and_clamped_crop(h5_paths):
+    """Reference quirk (openeds_dataset.py:89): mask.shape — (H,W) — feeds
+    get_params' ``w, h = size`` unpack, so *_and_crop position domains come
+    from a TRANSPOSED source size; and where that would push the crop out of
+    the resized extent (PIL pads black in the reference), our slice clamps
+    to a full-size in-bounds crop (PARITY.md "swapped crop domain")."""
+    from seg2eye_tpu.data import transforms
+
+    data, _ = h5_paths
+    opt = opt_for(data, preprocess_mode="scale_width_and_crop",
+                  load_size=48, crop_size=32, no_flip=True)
+    ds = OpenEDSDataset(opt, dataset_key="train")
+    # native fixture is H=64, W=40: the swap makes get_params treat
+    # w=64, h=40 -> new_h = 48*40//64 = 30 < crop 32 -> y domain = {0},
+    # x domain = [0, 48-32]; the ACTUAL resized extent is 48 x 76
+    item = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert item["label"].shape[:2] == (32, 32)      # clamped, full-size
+
+    rng = np.random.default_rng(1)
+    for _ in range(8):
+        p = transforms.get_params(opt, rng, size=(64, 40))   # (H,W) swap
+        x, y = p["crop_pos"]
+        assert y == 0 and 0 <= x <= 48 - 32

@@ -43,6 +43,24 @@ def test_train_loop_end_to_end(env):
         assert os.path.exists(os.path.join(opt.expr_dir, fn)), fn
 
 
+def test_d_only_iterations_keep_g_losses(env):
+    """With D_steps_per_G > 1, D-only iterations must keep reporting the
+    LATEST generator losses (reference get_latest_losses merges stored
+    g_losses into every d_losses dict, pix2pix_trainer.py:47-53) —
+    regression: losses reset to {} so printed/returned dicts lost all G
+    terms on odd iterations."""
+    d, base = env
+    os.chdir(str(d))
+    opt = base.replace(name="exp_dsteps", D_steps_per_G=2).finalize()
+    opt.save()
+    seen = []
+    train(opt, max_steps=2,
+          step_hook=lambda s, losses: seen.append(sorted(losses.keys())))
+    assert len(seen) == 2
+    assert any(k.startswith("GAN") for k in seen[1]), seen[1]   # D-only iter
+    assert any(k.startswith("D/") for k in seen[1])
+
+
 def test_resume_from_checkpoint(env):
     d, opt = env
     opt2 = opt.replace(continue_train=True)
@@ -69,6 +87,28 @@ def test_tester_full_run_and_error_log(env):
                                    "visualisation"}
         assert log["visualisation"].shape[1:] == (1, 380, 1000)
         assert log["error"][:tester.N].sum() > 0
+
+
+def test_tester_rand_mode_error_log_offsets(env):
+    """'rand' mode iterates SINGLE-SAMPLE batches: the error log must fill
+    contiguously from offset 0 (regression: offsets were batch_index *
+    batchSize, scattering entries at stride 4 and overrunning the dataset
+    past N/batchSize iterations)."""
+    d, opt = env
+    test_opt = opt.replace(isTrain=False, write_error_log=True)
+    model = Pix2Pix(test_opt)
+    state = state_lib.create_state(model, __import__("jax").random.PRNGKey(0))
+    state = checkpoint.load_state(state, test_opt, "latest")
+    tester = Tester(test_opt, dataset_key="validation")
+    n = min(tester.N, 3)                    # > batchSize iterations of bs=1
+    tester.run(model, state.variables, mode="rand", limit=n,
+               write_error_log=True)
+    import h5py
+    log_path = os.path.join(tester.results_dir, "error_log_validation.h5")
+    with h5py.File(log_path, "r") as log:
+        written = log["error"][:n]
+        assert (written > 0).all()           # contiguous from offset 0
+        assert log["error"][n:].sum() == 0   # nothing scattered past it
 
 
 def test_tester_modes(env):

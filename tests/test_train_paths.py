@@ -140,3 +140,65 @@ def test_device_prefetch_abandonment():
         time.sleep(0.05)
     assert seen == [0, 1, 2, 3]
     assert threading.active_count() <= before
+
+
+class _RngDataset:
+    """Consumes per-sample rng draws (like augmentation would)."""
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i, rng=None):
+        return {"idx": np.array([i]),
+                "draw": np.array([int(rng.integers(0, 10 ** 9))])}
+
+
+def test_loader_per_sample_rng_process_invariant():
+    """Multi-process DP must load exactly what a single process loads for
+    the same global batch: the epoch shuffle must stay synchronized across
+    processes even though each process consumes augmentation draws only for
+    its own shard (regression: one shared rng stream drove both, so
+    epoch-2 permutations silently diverged between processes), and the
+    per-sample draws themselves must match (seeded by (seed, epoch, global
+    index), not by stream position)."""
+    from seg2eye_tpu.data.loader import DataLoader
+
+    single = DataLoader(_RngDataset(8), batch_size=4, shuffle=True,
+                        drop_last=True, seed=3, prefetch=0)
+    shards = [DataLoader(_RngDataset(8), batch_size=4, shuffle=True,
+                         drop_last=True, seed=3, prefetch=0,
+                         process_index=p, process_count=2)
+              for p in (0, 1)]
+    for epoch in range(3):                    # divergence showed at epoch 2
+        ref = list(single)
+        parts = [list(s) for s in shards]
+        for b, full in enumerate(ref):
+            got_idx = np.concatenate([parts[0][b]["idx"],
+                                      parts[1][b]["idx"]])
+            got_draw = np.concatenate([parts[0][b]["draw"],
+                                       parts[1][b]["draw"]])
+            np.testing.assert_array_equal(got_idx.ravel(),
+                                          full["idx"].ravel())
+            np.testing.assert_array_equal(got_draw.ravel(),
+                                          full["draw"].ravel())
+
+
+def test_loader_iter_abandonment_releases_worker():
+    """Breaking out of a prefetching iteration must release the worker
+    thread (regression: the worker's unbounded q.put blocked forever on a
+    full queue once the consumer left, leaking the thread + a batch)."""
+    import threading
+    import time
+
+    dl = DataLoader(_IdxDataset(64), batch_size=2, shuffle=False,
+                    drop_last=True, prefetch=1)
+    base = threading.active_count()
+    it = iter(dl)
+    next(it)
+    it.close()                                # GeneratorExit -> finally
+    deadline = time.time() + 5
+    while threading.active_count() > base and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= base
