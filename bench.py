@@ -93,11 +93,13 @@ def _setup(bs: int, reuse_fake: bool):
 
 def measure(bs_candidates, steps_n: int, reuse_fake: bool):
     state = steps = batch = None
+    retry_sleep_s = int(os.environ.get("BENCH_RETRY_SLEEP_S", "120"))
     for ci, bs in enumerate(bs_candidates):
-        # the preferred (first) batch size gets ONE retry after a backend
+        # the preferred (first) batch size gets retries after a backend
         # reset: a transient tunnel/device wedge (e.g. HBM left allocated by
-        # a killed earlier run) must not silently degrade the headline bs
-        for attempt in range(2 if ci == 0 else 1):
+        # a killed earlier run, or the remote tunnel dropping and needing
+        # time to re-establish) must not silently degrade the headline bs
+        for attempt in range(3 if ci == 0 else 1):
             try:
                 state, steps, batch = _setup(bs, reuse_fake)
                 break
@@ -112,6 +114,12 @@ def measure(bs_candidates, steps_n: int, reuse_fake: bool):
                 import jax.extend.backend
                 jax.clear_caches()
                 jax.extend.backend.clear_backends()
+                # a wedged tunnel needs time to recover; retrying
+                # immediately just re-enters the same wedge
+                if ci == 0 and attempt + 1 < 3:
+                    print(f"[bench] sleeping {retry_sleep_s}s before retry",
+                          file=sys.stderr)
+                    time.sleep(retry_sleep_s)
         if state is not None:
             break
     assert state is not None, "no batch size compiled"

@@ -20,6 +20,63 @@ import numpy as np
 
 from seg2eye_tpu.data.openeds import OpenEDSDataset
 
+def threaded_iter(src, transform, depth: int):
+    """Yield ``transform(item)`` for each item of ``src``, computed ahead of
+    the consumer on a daemon worker thread through a bounded queue.
+
+    The single source of the stop-aware producer pattern shared by
+    ``DataLoader.__iter__`` (H5 reads + resizes overlap the step) and
+    ``device_prefetch`` (host->device transfer overlaps the step):
+      * an abandoned iteration (consumer broke out early) must not leave the
+        worker blocked forever on a full queue, pinning a batch / H5 handle
+        — the put polls a stop event;
+      * worker exceptions re-raise on the consumer after any already-queued
+        items (no silent swallowing);
+      * the consumer's ``finally`` drains the queue so the worker can exit.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    done = object()
+    stop = threading.Event()
+    err: List[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def work():
+        try:
+            for item in src:
+                if stop.is_set() or not _put(transform(item)):
+                    return
+        except BaseException as e:          # surfaced below, on the consumer
+            err.append(e)
+        finally:
+            _put(done)
+
+    threading.Thread(target=work, daemon=True).start()
+    try:
+        while True:
+            out = q.get()
+            if out is done:
+                if err:
+                    raise err[0]
+                return
+            yield out
+    finally:
+        # consumer finished or abandoned mid-iteration: release the worker
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
 def collate(items: List[Dict]) -> Dict:
     batch: Dict = {}
     for k in items[0].keys():
@@ -108,50 +165,7 @@ class DataLoader:
             for idxs in batches:
                 yield self._load(idxs)
             return
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def _put(item) -> bool:
-            # stop-aware put: an abandoned iteration (consumer broke out
-            # early) must not leave the worker blocked forever on a full
-            # queue, pinning a batch and the H5 handle (same pattern as
-            # device_prefetch below)
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def worker():
-            try:
-                for idxs in batches:
-                    if stop.is_set() or not _put(self._load(idxs)):
-                        return
-            except BaseException as e:             # surface worker failures
-                _put(e)
-            finally:
-                _put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            # drain so the worker can exit
-            while not q.empty():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
+        yield from threaded_iter(batches, self._load, self.prefetch)
 
     def _load(self, idxs: np.ndarray) -> Dict:
         if self.process_count > 1:
@@ -197,51 +211,7 @@ def device_prefetch(iterator, put_fn, depth: int = 1):
     device_put (e.g. a remote-TPU tunnel, where the transfer itself is the
     bottleneck) overlaps the in-flight step instead of serializing with it.
     Worker exceptions re-raise on the consumer (no silent swallowing)."""
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
-    done = object()
-    stop = threading.Event()
-    err = []
-
-    def _put(item) -> bool:
-        """blocking put that aborts when the consumer abandoned us"""
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def work():
-        try:
-            for item in iterator:
-                if stop.is_set() or not _put(put_fn(item)):
-                    return
-        except BaseException as e:          # surfaced below, on the consumer
-            err.append(e)
-        finally:
-            _put(done)
-
-    threading.Thread(target=work, daemon=True).start()
-    try:
-        while True:
-            out = q.get()
-            if out is done:
-                if err:
-                    raise err[0]
-                return
-            yield out
-    finally:
-        # consumer finished or abandoned mid-iteration: release the worker
-        stop.set()
-        while not q.empty():
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
+    return threaded_iter(iterator, put_fn, depth)
 
 
 def create_dataloader(opt, dataset_key: Optional[str] = None) -> DataLoader:

@@ -127,6 +127,14 @@ class RefineNetDataset:
             rim = person[ref_images_key][ridx]
             rss = f["map"][self.split][key][ridx]
         elif rfrom == b"s":
+            if f["map_seq"] is None:
+                raise ValueError(
+                    "nearest-neighbor ranking entry for "
+                    f"'{key}/{fname}' points into the sequence subset, but "
+                    "cfg.segmentations_sequence is unset — pass the "
+                    "sequence-segmentation H5 (refinenet/evaluate_segnet.py "
+                    "--image_key images_seq output) or rebuild the ranking "
+                    "without sequence candidates")
             num_gen = person[style_count_key].shape[0]
             rim = person["images_seq"][ridx - num_gen]
             rss = f["map_seq"][self.split][key][ridx - num_gen]

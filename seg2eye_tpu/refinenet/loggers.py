@@ -20,12 +20,16 @@ import numpy as np
 
 
 class Tensorboard:
-    def __init__(self, output_dir: str):
-        try:
-            from tensorboardX import SummaryWriter
-            self.writer = SummaryWriter(output_dir)
-        except Exception:
-            self.writer = None
+    def __init__(self, output_dir: Optional[str]):
+        """``output_dir=None`` constructs a no-op logger (no event file is
+        ever opened) — the non-primary-host mode under multi-process DP."""
+        self.writer = None
+        if output_dir is not None:
+            try:
+                from tensorboardX import SummaryWriter
+                self.writer = SummaryWriter(output_dir)
+            except Exception:
+                self.writer = None
         self.step = 0
 
     def update_current_step(self, step: int):

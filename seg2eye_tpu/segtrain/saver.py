@@ -66,9 +66,11 @@ class Saver:
                     self.directory, "model_best.ckpt"))
         return filename
 
-    def load_checkpoint(self, template, path: str):
+    @staticmethod
+    def load_checkpoint(template, path: str):
         """Resume path (train.py:74-87): bytes -> state shaped like
-        ``template``."""
+        ``template``.  Static: resuming must work on non-primary hosts,
+        which construct no Saver (and no run directory)."""
         if not os.path.isfile(path):
             raise RuntimeError(f"=> no checkpoint found at '{path}'")
         with open(path, "rb") as f:

@@ -88,13 +88,19 @@ class SegTrainer:
         # writing the same model_best.ckpt / TB event files would corrupt
         # both (standard JAX host-0-logs convention)
         self._primary = jax.process_index() == 0
-        self.saver = Saver(args)
         if self._primary:
+            self.saver = Saver(args)
             self.saver.save_experiment_config()
-        self.summary = TensorboardSummary(self.saver.experiment_dir)
-        self.writer = self.summary.create_summary()
-        if not self._primary:
-            self.writer.writer = None          # scalars/images become no-ops
+            self.summary = TensorboardSummary(self.saver.experiment_dir)
+            self.writer = self.summary.create_summary()
+        else:
+            # non-primary hosts must create NO run directory (Saver's
+            # glob-then-mkdir would race host 0's run-id derivation and
+            # leave ghost experiment_N dirs) and NO event file — the
+            # dir-less Tensorboard no-ops every scalar/image
+            self.saver = None
+            self.summary = TensorboardSummary(None)
+            self.writer = self.summary.create_summary()
 
         (self.train_loader, self.val_loader, self.test_loader,
          self.nclass) = make_data_loader(args, seed=args.seed)
@@ -151,7 +157,7 @@ class SegTrainer:
         if args.resume is not None:
             template = {"epoch": 0, "best_pred": 0.0,
                         **jax.device_get(self.state)}
-            ckpt = self.saver.load_checkpoint(template, args.resume)
+            ckpt = Saver.load_checkpoint(template, args.resume)
             args.start_epoch = int(ckpt["epoch"])
             new = {"params": ckpt["params"],
                    "batch_stats": ckpt["batch_stats"],

@@ -69,7 +69,8 @@ def train(opt: Options, max_steps: Optional[int] = None,
     if not opt.no_vgg_loss:
         state = state.replace(
             variables=checkpoint.load_vgg(state.variables, opt))
-    iter_counter = IterationCounter(opt, len(dataloader) * opt.batchSize)
+    iter_counter = IterationCounter(opt, len(dataloader) * opt.batchSize,
+                                    write_records=primary)
     if opt.continue_train and checkpoint.has_checkpoint(opt, opt.which_epoch):
         state = checkpoint.load_state(state, opt, opt.which_epoch)
         print(f"Resumed networks from '{opt.which_epoch}' checkpoint")
@@ -81,10 +82,17 @@ def train(opt: Options, max_steps: Optional[int] = None,
             state, param_shardings(state, mesh,
                                    min_channels=opt.tp_min_channels))
 
-    visualizer = Visualizer(opt)
-    tester_train = Tester(opt, dataset_key="train", visualizer=visualizer)
-    tester_validation = Tester(opt, dataset_key="validation",
-                               visualizer=visualizer)
+    # host-0 invariant: the Visualizer appends a loss_log.txt header (and
+    # opens a tensorboard writer under --tf_log) at CONSTRUCTION, and the
+    # Testers build process-local eval loaders — none of which non-primary
+    # processes may touch (their only job is the symmetric fused step)
+    if primary:
+        visualizer = Visualizer(opt)
+        tester_train = Tester(opt, dataset_key="train", visualizer=visualizer)
+        tester_validation = Tester(opt, dataset_key="validation",
+                                   visualizer=visualizer)
+    else:
+        visualizer = tester_train = tester_validation = None
 
     max_steps = max_steps or (opt.max_steps or None)
     last_losses: Dict = {}

@@ -153,3 +153,22 @@ def test_tester_spatial_shard_matches(env):
     for k in errs0:
         np.testing.assert_allclose(errs0[k], errs1[k], rtol=2e-3, atol=1e-6,
                                    err_msg=k)
+
+
+def test_train_loop_nonprimary_host_writes_nothing(env, monkeypatch):
+    """Host-0 convention in the Seg2Eye loop (train/loop.py): a non-primary
+    process must not touch the shared run directory — no src.zip, no
+    loss_log.txt header (the Visualizer writes it at CONSTRUCTION), no
+    checkpoints, no iter.txt — while still training symmetrically."""
+    import jax as _jax
+    d, base = env
+    os.chdir(str(d))
+    monkeypatch.setattr(_jax, "process_index", lambda: 1)
+    opt = base.replace(name="exp_nonprimary").finalize()
+    result = train(opt, max_steps=2)
+    assert result["steps"] == 2
+    assert all(np.isfinite(v) for v in result["losses"].values())
+    leaked = [fn for fn in ("src.zip", "loss_log.txt", "iter.txt",
+                            "latest_net_G.ckpt", "latest_optim.ckpt")
+              if os.path.exists(os.path.join(opt.expr_dir, fn))]
+    assert not leaked, leaked

@@ -322,3 +322,20 @@ def test_dp_step_matches_single_device(env):
     worst = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
                 for a, b in zip(p1, p2))
     assert worst < 5e-5, worst  # one full SGD update: measured 8.7e-6
+
+
+def test_dataset_seq_ranking_without_seq_segmentations_errors(env):
+    """A train-split ranking entry pointing into the sequence subset while
+    cfg.segmentations_sequence is unset must raise a clear configuration
+    error, not a NoneType subscript crash inside the loader thread
+    (dataset.py _open conditionally skips the file; __getitem__ guards)."""
+    d, base = env
+    cfg = base.replace(segmentations_sequence="")
+    ds = RefineNetDataset(cfg, split="train")
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="segmentations_sequence"):
+        # the synthetic train ranking mixes 'g' and 's' rows; some index
+        # must hit the sequence subset
+        for i in range(len(ds)):
+            for _ in range(8):          # pick1=False draws randomly
+                ds.__getitem__(i, rng=rng)

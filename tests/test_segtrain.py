@@ -572,10 +572,12 @@ def test_trainer_nonprimary_host_writes_nothing(voc_env, monkeypatch):
     from seg2eye_tpu.segtrain.trainer import SegTrainer
     t = SegTrainer(_tiny_args(voc_env))
     assert t._primary is False and t.writer.writer is None
-    assert not os.path.exists(os.path.join(t.saver.experiment_dir,
-                                           "parameters.txt"))
+    assert t.saver is None
+    # the strong invariant: a non-primary process creates NO run directory
+    # at all (a Saver glob-then-mkdir would race host 0's run-id derivation
+    # and leave ghost experiment_N dirs) and opens no event file
+    assert not os.path.exists("run")
     t.training(0)
     miou = t.validation(0)
     assert t.best_pred == miou
-    assert not os.path.exists(os.path.join(t.saver.experiment_dir,
-                                           "checkpoint.ckpt"))
+    assert not os.path.exists("run")
