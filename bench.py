@@ -49,23 +49,9 @@ from seg2eye_tpu.options import Options                  # noqa: E402
 from seg2eye_tpu.train import state as state_lib         # noqa: E402
 from seg2eye_tpu.train.steps import StepFunctions        # noqa: E402
 
+from seg2eye_tpu.utils.roofline import peak_flops        # noqa: E402
+
 ASSUMED_BASELINE_IMG_S = 2.5
-
-# bf16 peak FLOP/s per chip by device kind (MFU denominator)
-PEAK_FLOPS = {
-    "TPU v5 lite": 197e12,   # v5e: 197 bf16 TFLOP/s
-    "TPU v5e": 197e12,
-    "TPU v4": 275e12,
-    "TPU v6 lite": 918e12,   # v6e/Trillium
-}
-
-
-def peak_flops(device) -> float:
-    kind = getattr(device, "device_kind", "")
-    for k, v in PEAK_FLOPS.items():
-        if k.lower() in kind.lower():
-            return v
-    return 0.0
 
 
 def _setup(bs: int, reuse_fake: bool):
@@ -76,14 +62,19 @@ def _setup(bs: int, reuse_fake: bool):
     steps = StepFunctions(model, donate=True)
     rng = np.random.default_rng(0)
     h, w = opt.image_height, opt.image_width
-    # dtypes match the production loader: uint8 class-id labels, f32 images
+    # dtypes match the production loader under the device_normalize default:
+    # uint8 class-id labels AND uint8 image transport, with the
+    # (x/255-0.5)/0.5 normalize running in-graph — the measured program is
+    # exactly the one the real loader-fed training loop executes
+    # (data/transforms.py transform_images_batch; PARITY.md "uint8 device
+    # transport")
     batch = {
         "label": jax.numpy.asarray(
             rng.integers(0, 4, (bs, h, w)).astype(np.uint8)),
-        "style_image": jax.numpy.asarray(
-            rng.uniform(-1, 1, (bs, opt.input_ns, h, w, 1)).astype(np.float32)),
+        "style_image": jax.numpy.asarray(rng.integers(
+            0, 256, (bs, opt.input_ns, h, w, 1)).astype(np.uint8)),
         "target": jax.numpy.asarray(
-            rng.uniform(-1, 1, (bs, h, w, 1)).astype(np.float32)),
+            rng.integers(0, 256, (bs, h, w, 1)).astype(np.uint8)),
     }
     # warmup / compile (may raise on OOM-ish compile failures)
     state, losses, _ = steps.train_step(state, batch)

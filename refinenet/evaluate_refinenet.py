@@ -37,6 +37,11 @@ if __name__ == "__main__":
     step, state = CheckpointManager(cfg.resume_from,
                                     cfg.checkpoints_keep_n
                                     ).load_last_checkpoint(state)
+    if step is None:                   # never silently run random weights
+        raise SystemExit(
+            f"no checkpoint found under '{cfg.resume_from}/checkpoints' — "
+            "submission npys from random weights would be garbage; check "
+            "--resume_from")
     print(f"loaded checkpoint at step {step}")
     out_dir = os.path.join(cfg.resume_from, "predictions")
     os.makedirs(out_dir, exist_ok=True)

@@ -47,6 +47,11 @@ if __name__ == "__main__":
     step, state = CheckpointManager(cfg.resume_from,
                                     cfg.checkpoints_keep_n
                                     ).load_last_checkpoint(state)
+    if step is None:                   # never silently run random weights
+        raise SystemExit(
+            f"no checkpoint found under '{cfg.resume_from}/checkpoints' — "
+            "a random-weights mask H5 would silently poison the downstream "
+            "ranking/refiner pipeline; check --resume_from")
     print(f"loaded checkpoint at step {step}")
 
     out_path = pre_ns.output or os.path.join(

@@ -1,0 +1,58 @@
+"""Tests for repo tools (imported by path — tools/ is not a package)."""
+import importlib.util
+import os
+
+import h5py
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(ROOT, "tools", name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_build_style_ranking_groups_match_consumer_lookup(tmp_path):
+    """The ranking H5's group names must equal what RefineNetDataset looks
+    up: labels_{ss,gen}_filenames decoded + '.'-stripped (dataset.py
+    __getitem__) — NOT images_ss_filenames, which only coincides for
+    exactly-12-char OpenEDS ids via the S13 truncation accident.  Short
+    ids with deliberately different image-filename spellings prove the
+    keying source."""
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data.h5"
+    with h5py.File(data, "w") as f:
+        g = f.create_group("train/u1")
+        g.create_dataset("labels_ss",
+                         data=rng.integers(0, 4, (2, 16, 16), dtype=np.uint8))
+        g.create_dataset(
+            "labels_ss_filenames",
+            data=np.array([b"12345.png", b"9.png"], dtype="S13"))
+        # different spelling on purpose: extension-stripped (what prep
+        # stores for images); keying on THIS would produce groups the
+        # consumer can never find for sub-12-char ids
+        g.create_dataset("images_ss_filenames",
+                         data=np.array([b"12345", b"9"], dtype="S13"))
+    segs = tmp_path / "segs.h5"
+    with h5py.File(segs, "w") as f:
+        f.create_dataset(
+            "train/u1",
+            data=rng.integers(0, 4, (3, 16, 16), dtype=np.uint8))
+
+    out = tmp_path / "rank.h5"
+    bsr = _load_tool("build_style_ranking")
+    bsr.main(["--dataroot", str(data),
+              "--segmentations_generative", str(segs),
+              "--out", str(out), "--splits", "train"])
+
+    with h5py.File(out, "r") as f:
+        for fname in ("12345png", "9png"):     # consumer transformation
+            grp = f["train/u1"][fname]
+            assert grp["index"].shape == (3,)
+            assert set(grp["subset"][:]) == {b"g"}
+            d = grp["distance"][:]
+            assert np.all(np.diff(d) >= -1e-9)  # sorted ascending

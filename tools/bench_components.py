@@ -11,7 +11,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,44 +26,16 @@ from seg2eye_tpu.models.pix2pix import Pix2Pix           # noqa: E402
 from seg2eye_tpu.options import Options                  # noqa: E402
 from seg2eye_tpu.train import state as state_lib         # noqa: E402
 from seg2eye_tpu.train.steps import StepFunctions        # noqa: E402
+from seg2eye_tpu.utils.roofline import (flops_of, peak_flops,  # noqa: E402
+                                        report as _report, timeit)
 
-PEAK = 197e12  # v5e bf16
-
-
-def flops_of(jitted, *args):
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
-_scalarize = jax.jit(
-    lambda out: sum(jnp.sum(l.astype(jnp.float32))
-                    for l in jax.tree_util.tree_leaves(out)
-                    if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
-                                                              jnp.inexact)))
-
-
-def timeit(jitted, args, iters=10):
-    """Honest device timing: chain `iters` dispatches, then device_get ONE
-    scalar (a jitted tree-sum) — never np.asarray a full tensor, which would
-    time the remote host transfer instead of the computation."""
-    out = jitted(*args)
-    float(np.asarray(_scalarize(out)))                # warmup + sync
-    t0 = time.time()
-    for _ in range(iters):
-        out = jitted(*args)
-    float(np.asarray(_scalarize(out)))                # honest scalar sync
-    return (time.time() - t0) / iters
+# device-keyed peak (never a hardcoded v5e figure: on v4/v6e that would
+# silently misreport MFU)
+PEAK = peak_flops()
 
 
 def report(name, t, fl):
-    tf = fl / t / 1e12 if t else 0.0
-    print(f"{name:>28}: {t*1e3:8.2f} ms  {fl/1e12:6.2f} TFLOP  "
-          f"{tf:6.1f} TF/s  MFU {tf/ (PEAK/1e12) *100:5.1f}%")
+    _report(name, t, fl, PEAK, width=28)
 
 
 def main():

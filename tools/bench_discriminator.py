@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,8 +36,7 @@ import numpy as np  # noqa: E402
 from seg2eye_tpu.models.discriminator import MultiscaleDiscriminator  # noqa: E402
 from seg2eye_tpu.models.layers import instance_norm  # noqa: E402
 from seg2eye_tpu.ops.image import avg_pool_3x3s2  # noqa: E402
-
-PEAK = 197e12
+from seg2eye_tpu.utils.roofline import timeit  # noqa: E402
 
 
 def conv(x, k, stride):
@@ -58,19 +56,6 @@ def scale_stack(x, kernels, sigma=False, inorm=False):
             y = instance_norm(y)
         x = jax.nn.leaky_relu(y, 0.2) if i < 4 else y
     return x
-
-
-def timeit(fn, args, iters=20):
-    out = fn(*args)
-    jax.tree_util.tree_map(lambda a: a, out)
-    s = jax.jit(lambda o: sum(jnp.sum(l.astype(jnp.float32))
-                              for l in jax.tree_util.tree_leaves(o)))
-    float(np.asarray(s(out)))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    float(np.asarray(s(out)))
-    return (time.time() - t0) / iters
 
 
 def main():

@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,38 +28,14 @@ import numpy as np  # noqa: E402
 
 from seg2eye_tpu.models.pix2pix import Pix2Pix  # noqa: E402
 from seg2eye_tpu.options import Options  # noqa: E402
+from seg2eye_tpu.utils.roofline import (flops_of, peak_flops,  # noqa: E402
+                                        report as _report, timeit)
 
-PEAK = 197e12
-
-
-def flops_of(jitted, *args):
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
-def timeit(fn, args, iters=15):
-    out = fn(*args)
-    s = jax.jit(lambda o: sum(jnp.sum(l.astype(jnp.float32))
-                              for l in jax.tree_util.tree_leaves(o)
-                              if hasattr(l, "dtype")
-                              and jnp.issubdtype(l.dtype, jnp.inexact)))
-    float(np.asarray(s(out)))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    float(np.asarray(s(out)))
-    return (time.time() - t0) / iters
+PEAK = peak_flops()     # device-keyed, never a hardcoded v5e figure
 
 
 def report(name, t, fl):
-    tf = fl / t / 1e12 if t else 0.0
-    print(f"{name:>34}: {t*1e3:7.2f} ms  {fl/1e12:5.2f} TFLOP  "
-          f"{tf:6.1f} TF/s  MFU {tf/(PEAK/1e12)*100:5.1f}%")
+    _report(name, t, fl, PEAK, width=34)
 
 
 def main():

@@ -4,7 +4,7 @@ CSE-proof: each timed step feeds the output of the previous step back in as
 x (data dependence chain), so XLA cannot hoist or dedupe the computation.
 Timing syncs via device_get of a scalar (see bench.py note on axon).
 
-Usage:  python tools/bench_pallas.py [--sites big] [--iters 20]
+Usage:  python tools/bench_pallas.py [--iters 20]
 """
 from __future__ import annotations
 
@@ -88,8 +88,6 @@ def timed(fn, args, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--grad", action="store_true",
-                    help="also time value+grad of a sum-loss through the op")
     args = ap.parse_args()
 
     print(f"device={jax.devices()[0].device_kind!r}")

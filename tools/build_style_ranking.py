@@ -96,8 +96,18 @@ def main(argv=None):
                 index_all = np.concatenate(offsets)
 
                 labels = np.asarray(grp[keys["labels"]])
+                # group names must match the CONSUMER's lookup source
+                # (RefineNetDataset reads labels_{ss,gen}_filenames,
+                # refinenet/dataset.py __getitem__) and be index-aligned
+                # with `labels` — images_ss_filenames is neither: it only
+                # coincides for exactly-12-char OpenEDS ids (S13 truncation
+                # accident) and can be shorter when prep dropped unreadable
+                # images
+                fname_key = keys["labels"] + "_filenames"
                 fnames = [f.decode("utf-8").replace(".", "")
-                          for f in grp[keys["filenames"]][:]]
+                          for f in grp[fname_key][:]]
+                assert len(fnames) == labels.shape[0], \
+                    (user, fname_key, len(fnames), labels.shape[0])
                 for i, fname in enumerate(fnames):
                     d = np.asarray(_mask_distances(jnp.asarray(labels[i]),
                                                    cand))

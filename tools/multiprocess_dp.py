@@ -156,7 +156,15 @@ def main() -> int:
     for out in (t2, t2b):
         procs = [_spawn(base + ["--pid", str(i), "--nprocs", "2",
                                 "--trace_out", out]) for i in range(2)]
-        rcs = [p.wait(timeout=1200) for p in procs]
+        try:
+            rcs = [p.wait(timeout=1200) for p in procs]
+        finally:
+            # one worker dying early leaves its peer blocked in a gloo
+            # barrier/collective — never leave orphans behind
+            # (mirrors tools/multiprocess_segtrain.py)
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         assert rcs == [0, 0], f"2-process arm failed: {rcs}"
 
     with open(t2) as f:

@@ -113,7 +113,10 @@ def main() -> None:
     ap.add_argument("--out", default="evidence/segtrain_convergence.jsonl")
     args_cli = ap.parse_args()
 
-    root = os.path.join(args_cli.workdir, "data")
+    # size-keyed fixture dir: a stale reuse of a different-sized dataset
+    # would silently misrepresent the emitted evidence's configuration
+    root = os.path.join(args_cli.workdir,
+                        f"data_{args_cli.n_train}_{args_cli.n_val}")
     if not os.path.exists(root):
         make_learnable_voc(root, args_cli.n_train, args_cli.n_val)
     os.makedirs(args_cli.workdir, exist_ok=True)
