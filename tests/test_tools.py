@@ -56,3 +56,19 @@ def test_build_style_ranking_groups_match_consumer_lookup(tmp_path):
             assert set(grp["subset"][:]) == {b"g"}
             d = grp["distance"][:]
             assert np.all(np.diff(d) >= -1e-9)  # sorted ascending
+
+
+def test_peak_flops_device_keyed():
+    """MFU denominators come from the device kind — unknown chips must
+    yield 0.0 (callers print 'n/a'), never a wrong hardcoded peak."""
+    from seg2eye_tpu.utils.roofline import peak_flops
+
+    class D:
+        def __init__(self, kind):
+            self.device_kind = kind
+
+    assert peak_flops(D("TPU v5 lite")) == 197e12
+    assert peak_flops(D("TPU v4")) == 275e12
+    assert peak_flops(D("TPU v6 lite")) == 918e12
+    assert peak_flops(D("cpu")) == 0.0
+    assert peak_flops(D("TPU v7x")) == 0.0
