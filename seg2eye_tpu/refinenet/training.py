@@ -94,13 +94,18 @@ class Trainer:
     _single_device)."""
 
     def __init__(self, model, cfg: RefineNetConfig, loss_key: str,
-                 momentum: float = 0.99, mesh=None):
+                 momentum: float = 0.99, mesh=None, donate: bool = True):
         self.model = model
         self.cfg = cfg
         self.loss_key = loss_key
         self.mesh = mesh
         self.tx = make_optimizer(cfg, momentum=momentum)
-        self.train_step = jax.jit(self._train_step)
+        # donate the train state: params/momentum/batch-stats buffers are
+        # updated in place (input-output aliasing), halving their HBM
+        # footprint during the update.  Callers that keep the pre-step state
+        # alive (e.g. trajectory-comparison tests) must pass donate=False.
+        self.train_step = jax.jit(self._train_step,
+                                  donate_argnums=(0,) if donate else ())
         self.eval_step = jax.jit(self._eval_step)
         # the variables eval helpers read; set by init_state and kept fresh
         # by update_variables so test_model_on_all works standalone

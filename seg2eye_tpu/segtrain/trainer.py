@@ -206,7 +206,10 @@ class SegTrainer:
             return ({"params": new_params, "batch_stats": new_bs,
                      "opt": new_opt}, loss, logits)
 
-        return jax.jit(step)
+        # donate the train state: params/momentum/batch-stats are updated via
+        # input-output aliasing instead of a second copy (self.state is always
+        # reassigned; checkpoint device_gets read the current state only)
+        return jax.jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self):
         model, criterion, nclass = self.model, self.criterion, self.nclass

@@ -295,7 +295,10 @@ def test_dp_step_matches_single_device(env):
     } for _ in range(2)]
 
     def run(mesh):
-        trainer = Trainer(model, cfg, loss_key="eds_loss", mesh=mesh)
+        # donate=False: this test keeps every post-step state alive for the
+        # final param comparison; donation would invalidate them on TPU
+        trainer = Trainer(model, cfg, loss_key="eds_loss", mesh=mesh,
+                          donate=False)
         state = trainer.init_state(jax.random.PRNGKey(0))
         key = jax.random.PRNGKey(1)
         scals, states = [], []
