@@ -17,10 +17,10 @@ Artifact layout (directory):
 
 The exported function is the full scoring pipeline of eval/tester.py:
 uint8 label map + uint8 style refs -> (fake [-1,1] f32, fake resized to the
-native eval size as truncated [0,255] int32) — i.e. in-graph normalize,
-one-hot, k-style encode, generate, bilinear resize, truncating conversion
-(reference: postprocessor.py:58-72, tester.py:44-47); only ints leave the
-device in the scoring path.
+native eval size as truncated [0,255] integer-valued f32) — i.e. in-graph
+normalize, one-hot, k-style encode, generate, bilinear resize, truncating
+conversion (reference: postprocessor.py:58-72, tester.py:44-47); only
+integer-valued scores leave the device in the scoring path.
 """
 from __future__ import annotations
 
