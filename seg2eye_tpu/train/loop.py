@@ -8,6 +8,8 @@ crash-safe final save in ``finally``.
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import traceback
 from typing import Dict, Optional
 
@@ -100,6 +102,16 @@ def train(opt: Options, max_steps: Optional[int] = None,
     n_iters = 0
     stop = False
     profiling = False
+    # preemption-aware shutdown: cloud-TPU eviction delivers SIGTERM, whose
+    # default action kills the process WITHOUT running finally blocks — route
+    # it into the same crash-safe save path as Ctrl-C (reference
+    # train.py:111-116 only covered in-process exceptions).  Main-thread-only
+    # (signal.signal requirement); the previous handler is restored on exit.
+    prev_sigterm = None
+    if threading.current_thread() is threading.main_thread():
+        def _sigterm(signum, frame):
+            raise SystemExit(128 + signum)
+        prev_sigterm = signal.signal(signal.SIGTERM, _sigterm)
     try:
         for epoch in iter_counter.training_epochs():
             if iter_counter.current_epoch != epoch:
@@ -204,12 +216,16 @@ def train(opt: Options, max_steps: Optional[int] = None,
             if stop:
                 break
         print("Training was successfully finished.")
-    except (KeyboardInterrupt, SystemExit):
-        print("KeyboardInterrupt. Shutting down.")
+    except (KeyboardInterrupt, SystemExit) as e:
+        name = "SIGTERM (preemption)" if getattr(e, "code", None) == \
+            128 + signal.SIGTERM else "KeyboardInterrupt"
+        print(f"{name}. Shutting down.")
     except Exception:
         print(traceback.format_exc())
         raise
     finally:
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
         if profiling:
             jax.profiler.stop_trace()
             print("profile written to",

@@ -61,6 +61,32 @@ def test_d_only_iterations_keep_g_losses(env):
     assert any(k.startswith("D/") for k in seen[1])
 
 
+def test_sigterm_preemption_saves_latest(env):
+    """Cloud-TPU preemption (SIGTERM) must reach the crash-safe finally-save
+    — the OS default action kills the process without running finally blocks
+    (train/loop.py installs a main-thread handler routing it into the
+    KeyboardInterrupt/SystemExit path, reference train.py:111-116)."""
+    import signal
+
+    d, base = env
+    os.chdir(str(d))
+    opt = base.replace(name="exp_sigterm").finalize()
+    opt.save()
+    before = signal.getsignal(signal.SIGTERM)
+
+    def hook(step, losses):
+        if step == 2:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    result = train(opt, max_steps=5, step_hook=hook)
+    assert result["steps"] == 2            # preempted before step 3
+    for fn in ("latest_net_G.ckpt", "latest_net_D.ckpt", "latest_net_E.ckpt",
+               "latest_optim.ckpt", "iter.txt"):
+        assert os.path.exists(os.path.join(opt.expr_dir, fn)), fn
+    # the previous handler is restored on exit
+    assert signal.getsignal(signal.SIGTERM) == before
+
+
 def test_resume_from_checkpoint(env):
     d, opt = env
     opt2 = opt.replace(continue_train=True)
