@@ -31,6 +31,7 @@ from seg2eye_tpu.data.loader import DataLoader, device_prefetch
 from seg2eye_tpu.refinenet.checkpoint_manager import CheckpointManager
 from seg2eye_tpu.refinenet.config import RefineNetConfig
 from seg2eye_tpu.refinenet.loggers import GoogleSheetLogger, Tensorboard
+from seg2eye_tpu.utils.signals import is_preemption, sigterm_raises
 
 logger = logging.getLogger(__name__)
 
@@ -110,6 +111,10 @@ class Trainer:
         # the variables eval helpers read; set by init_state and kept fresh
         # by update_variables so test_model_on_all works standalone
         self.current_variables: Optional[Dict] = None
+        # live train state, tracked by main_loop's step runner so the
+        # preemption/interrupt path can checkpoint mid-interval work
+        self.last_state: Optional[Dict] = None
+        self.last_step: Optional[int] = None
 
     def init_state(self, rng: jax.Array) -> Dict:
         variables = self.model.init(rng)
@@ -336,6 +341,55 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
                                  depth=1)
     t_last = time.time()
     step = start_step
+    try:
+        with sigterm_raises():
+            step = _run_steps(trainer, cfg, state, prefetched, start_step,
+                              num_steps, steps_per_epoch, train_loader,
+                              test_data, step_callback, tensorboard, gsheet,
+                              ckpt_mgr, rng, t_last)
+    except (KeyboardInterrupt, SystemExit) as e:
+        # preemption/interrupt: save the current step NOW (the reference has
+        # no crash-safety here — up to test_every_n_steps-1 steps of work
+        # would be lost) and skip the final full test (eviction grace
+        # periods are short)
+        state = trainer.last_state if trainer.last_state is not None else state
+        step = trainer.last_step if trainer.last_step is not None else step
+        name = "SIGTERM (preemption)" if is_preemption(e) \
+            else type(e).__name__
+        logger.warning("%s — saving checkpoint at step %d and stopping",
+                       name, step + 1)
+        try:
+            ckpt_mgr.save_at_step(step + 1, state)
+        except Exception:
+            # a signal landing exactly during train_step dispatch can leave
+            # last_state's donated buffers deleted — losing the interval
+            # since the last periodic checkpoint matches reference behavior
+            logger.exception("interrupt-time checkpoint failed; the last "
+                             "periodic checkpoint remains the resume point")
+        tensorboard.close()
+        return {"state": state, "output_dir": output_dir, "steps": step + 1,
+                "final": {}, "trainer": trainer, "interrupted": True}
+    state = trainer.last_state if trainer.last_state is not None else state
+
+    ckpt_mgr.save_at_step(step + 1, state)
+    final = test_model_on_all(trainer, test_data, step + 1, tensorboard,
+                              log_key_prefix="final_test")
+    gsheet.update_or_append_row(
+        {"Step": step + 1,
+         **{f"final/{t}/{k}": v for t, d in final.items()
+            for k, v in d.items()}})
+    tensorboard.close()
+    return {"state": state, "output_dir": output_dir, "steps": step + 1,
+            "final": final, "trainer": trainer}
+
+
+def _run_steps(trainer, cfg, state, prefetched, start_step, num_steps,
+               steps_per_epoch, train_loader, test_data, step_callback,
+               tensorboard, gsheet, ckpt_mgr, rng, t_last):
+    """The step loop body of main_loop; tracks the live state on the trainer
+    (trainer.last_state/last_step) so the interrupt path can checkpoint it."""
+    step = start_step
+    trainer.last_state, trainer.last_step = state, step
     for step in range(start_step, num_steps):
         batch, db = next(prefetched)
         lr = learning_rate_schedule(cfg, steps_per_epoch, step)
@@ -343,6 +397,7 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
         state, scalars, out = trainer.train_step(
             state, db, jnp.asarray(lr, jnp.float32), sub)
         trainer.update_variables(state)
+        trainer.last_state, trainer.last_step = state, step
 
         if step_callback is not None:
             step_callback(step, scalars, out, batch)
@@ -377,13 +432,4 @@ def main_loop(model, cfg: RefineNetConfig, train_loader: DataLoader,
             gsheet.update_or_append_row(row)
             ckpt_mgr.save_at_step(step + 1, state)
 
-    ckpt_mgr.save_at_step(step + 1, state)
-    final = test_model_on_all(trainer, test_data, step + 1, tensorboard,
-                              log_key_prefix="final_test")
-    gsheet.update_or_append_row(
-        {"Step": step + 1,
-         **{f"final/{t}/{k}": v for t, d in final.items()
-            for k, v in d.items()}})
-    tensorboard.close()
-    return {"state": state, "output_dir": output_dir, "steps": step + 1,
-            "final": final, "trainer": trainer}
+    return step

@@ -7,9 +7,8 @@ crash-safe final save in ``finally``.
 """
 from __future__ import annotations
 
+import contextlib
 import os
-import signal
-import threading
 import traceback
 from typing import Dict, Optional
 
@@ -26,6 +25,7 @@ from seg2eye_tpu.utils import checkpoint
 from seg2eye_tpu.utils import files
 from seg2eye_tpu.utils.files import copy_src
 from seg2eye_tpu.utils.iter_counter import IterationCounter
+from seg2eye_tpu.utils.signals import is_preemption, sigterm_raises
 from seg2eye_tpu.utils.visualizer import Visualizer
 from seg2eye_tpu.parallel.sharding import (make_mesh, param_shardings,
                                            place_state, shard_batch)
@@ -102,16 +102,11 @@ def train(opt: Options, max_steps: Optional[int] = None,
     n_iters = 0
     stop = False
     profiling = False
-    # preemption-aware shutdown: cloud-TPU eviction delivers SIGTERM, whose
-    # default action kills the process WITHOUT running finally blocks — route
-    # it into the same crash-safe save path as Ctrl-C (reference
-    # train.py:111-116 only covered in-process exceptions).  Main-thread-only
-    # (signal.signal requirement); the previous handler is restored on exit.
-    prev_sigterm = None
-    if threading.current_thread() is threading.main_thread():
-        def _sigterm(signum, frame):
-            raise SystemExit(128 + signum)
-        prev_sigterm = signal.signal(signal.SIGTERM, _sigterm)
+    # preemption-aware shutdown: route SIGTERM (cloud-TPU eviction) into the
+    # same crash-safe save path as Ctrl-C — the reference's finally
+    # (train.py:111-116) only covered in-process exceptions
+    exit_stack = contextlib.ExitStack()
+    exit_stack.enter_context(sigterm_raises())
     try:
         for epoch in iter_counter.training_epochs():
             if iter_counter.current_epoch != epoch:
@@ -217,15 +212,14 @@ def train(opt: Options, max_steps: Optional[int] = None,
                 break
         print("Training was successfully finished.")
     except (KeyboardInterrupt, SystemExit) as e:
-        name = "SIGTERM (preemption)" if getattr(e, "code", None) == \
-            128 + signal.SIGTERM else "KeyboardInterrupt"
+        name = "SIGTERM (preemption)" if is_preemption(e) \
+            else "KeyboardInterrupt"
         print(f"{name}. Shutting down.")
     except Exception:
         print(traceback.format_exc())
         raise
     finally:
-        if prev_sigterm is not None:
-            signal.signal(signal.SIGTERM, prev_sigterm)
+        exit_stack.close()
         if profiling:
             jax.profiler.stop_trace()
             print("profile written to",

@@ -277,6 +277,39 @@ def test_main_loop_end_to_end(env, monkeypatch):
     assert result2["steps"] == 3
 
 
+def test_main_loop_sigterm_preemption_checkpoints(env):
+    """SIGTERM mid-loop (cloud-TPU eviction) saves the CURRENT step's
+    checkpoint and returns interrupted=True, skipping the final full test
+    (the reference RefineNet loop has no crash-safety at all — a preempted
+    run lost everything since the last test_every_n_steps checkpoint)."""
+    import signal
+
+    d, cfg = env
+    cfg = cfg.replace(max_steps=5, test_every_n_steps=10**6,
+                      tensorboard_images_every_n_steps=0)
+    train_loader = DataLoader(RefineNetDataset(cfg, "train"),
+                              batch_size=2, shuffle=True, drop_last=True,
+                              prefetch=0)
+    test_data = {"val/pick1": DataLoader(
+        RefineNetDataset(cfg, "validation", pick1=True), batch_size=2,
+        shuffle=False, drop_last=False, prefetch=0)}
+    before = signal.getsignal(signal.SIGTERM)
+
+    def cb(step, scalars, out, batch):
+        if step == 1:                      # second step (0-based)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    result = main_loop(RefineNetModel(cfg), cfg, train_loader, test_data,
+                       loss_key="eds_loss", model_name="RefineNet",
+                       step_callback=cb)
+    assert result["interrupted"] is True
+    assert result["steps"] == 2           # preempted after step index 1
+    assert result["final"] == {}          # final full test skipped
+    ckpts = os.listdir(os.path.join(result["output_dir"], "checkpoints"))
+    assert "0000002.ckpt" in ckpts, ckpts
+    assert signal.getsignal(signal.SIGTERM) == before
+
+
 def test_dp_step_matches_single_device(env):
     """R8 SyncBN-by-GSPMD, proven on the RefineNet trainer itself: two DP
     train steps on a 4-device data mesh produce the same losses and
