@@ -32,18 +32,30 @@ def _kaiming_fan_out(key, shape, dtype=jnp.float32):
 
 
 def _bn(name, train):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, dtype=jnp.float32, name=name)
+    """BatchNorm in f32 (stats + normalize), result cast back to the input's
+    compute dtype (a no-op for f32 inputs — bitwise parity preserved)."""
+    def apply(x):
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name=name)(x)
+        return y.astype(x.dtype)
+    return apply
 
 
 def _conv(feats, k, stride=1, dilation=1, pad=None, name=None, groups=1):
+    """Conv whose compute dtype follows the input (bf16 under the models'
+    compute_dtype policy — without the explicit dtype flax would promote the
+    bf16 activations back to the f32 params and compute in f32)."""
     if pad is None:
         pad = ((k - 1) // 2) * dilation
-    return nn.Conv(feats, (k, k), strides=(stride, stride),
-                   padding=((pad, pad), (pad, pad)),
-                   kernel_dilation=(dilation, dilation),
-                   feature_group_count=groups, use_bias=False,
-                   kernel_init=_kaiming_fan_out, name=name)
+
+    def apply(x):
+        return nn.Conv(feats, (k, k), strides=(stride, stride),
+                       padding=((pad, pad), (pad, pad)),
+                       kernel_dilation=(dilation, dilation),
+                       feature_group_count=groups, use_bias=False,
+                       dtype=x.dtype, kernel_init=_kaiming_fan_out,
+                       name=name)(x)
+    return apply
 
 
 class SeparableConv(nn.Module):

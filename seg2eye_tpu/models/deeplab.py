@@ -56,12 +56,19 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         k, d = self.kernel, self.dilation
         pad = ((k - 1) // 2) * d
+        # compute dtype follows the input (bf16 under the models'
+        # compute_dtype policy): the conv runs on the MXU at bf16 rate while
+        # params and BN statistics/normalization stay f32.  Without the
+        # explicit dtype flax promotes the bf16 input back to the f32 params
+        # and the whole network silently computes in f32.
+        dtype = x.dtype
         x = nn.Conv(self.features, (k, k), strides=(self.stride, self.stride),
                     padding=((pad, pad), (pad, pad)),
-                    kernel_dilation=(d, d), use_bias=False,
+                    kernel_dilation=(d, d), use_bias=False, dtype=dtype,
                     kernel_init=kaiming_init(self.init_mode), name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="bn")(x).astype(dtype)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -103,9 +110,10 @@ class ResNetBackbone(nn.Module):
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=kaiming_init("fan_out"),
-                    name="conv1")(x)
+                    dtype=x.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="bn1")(x).astype(x.dtype)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -160,9 +168,11 @@ class InvertedResidual(nn.Module):
                       padding=((0, 0), (0, 0)),
                       kernel_dilation=(self.dilation, self.dilation),
                       feature_group_count=hidden, use_bias=False,
+                      dtype=out.dtype,
                       kernel_init=kaiming_init("fan_out"), name="dw")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32, name="dw_bn")(out)
+                           epsilon=1e-5, dtype=jnp.float32,
+                           name="dw_bn")(out).astype(out.dtype)
         out = _relu6(out)
         out = ConvBN(self.features, 1, relu=False, name="project")(out, train)
         return x + out if use_res else out
@@ -208,7 +218,10 @@ class ASPP(nn.Module):
         b2 = ConvBN(256, 3, dilation=d[1], name="aspp2")(x, train)
         b3 = ConvBN(256, 3, dilation=d[2], name="aspp3")(x, train)
         b4 = ConvBN(256, 3, dilation=d[3], name="aspp4")(x, train)
-        gp = jnp.mean(x, axis=(1, 2), keepdims=True)
+        # global pool accumulated in f32 (bf16 summation over the plane
+        # would lose low bits); result back in the compute dtype
+        gp = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
+                      keepdims=True).astype(x.dtype)
         gp = ConvBN(256, 1, name="global_pool")(gp, train)
         gp = jnp.broadcast_to(gp, b4.shape)  # 1x1 -> bilinear is a broadcast
         out = jnp.concatenate([b1, b2, b3, b4, gp], axis=-1)
@@ -230,7 +243,7 @@ class Decoder(nn.Module):
         x = nn.Dropout(0.5, deterministic=deterministic)(x)
         x = ConvBN(256, 3, name="conv2")(x, train)
         x = nn.Dropout(0.1, deterministic=deterministic)(x)
-        x = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+        x = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=x.dtype,
                     kernel_init=kaiming_init(), name="classifier")(x)
         return x
 

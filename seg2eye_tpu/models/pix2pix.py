@@ -300,8 +300,9 @@ class Pix2Pix:
             # discriminate()).
             from seg2eye_tpu.models.vgg import to_rgb
             pair = jnp.stack([to_rgb(fake), to_rgb(target)], axis=1)
-            feats = self.vgg.apply(variables["VGG"],
-                                   pair.reshape(-1, *pair.shape[2:]))
+            feats = self.vgg.apply(
+                variables["VGG"],
+                pair.reshape(-1, *pair.shape[2:]).astype(self.dtype))
             feats_f = [f.reshape(-1, 2, *f.shape[1:])[:, 0] for f in feats]
             feats_r = [f.reshape(-1, 2, *f.shape[1:])[:, 1] for f in feats]
             vl = L.vgg_loss(feats_f, feats_r)

@@ -50,8 +50,12 @@ class VGG19Features(nn.Module):
                     x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 else:
                     idx, feats = step
+                    # compute dtype follows the input (bf16 under the
+                    # model's compute_dtype policy — without the explicit
+                    # dtype flax would promote back to the f32 params);
+                    # the loss itself accumulates in f32 (ops/losses.l1_loss)
                     x = nn.Conv(feats, (3, 3),
-                                padding=((1, 1), (1, 1)),
+                                padding=((1, 1), (1, 1)), dtype=x.dtype,
                                 name=f"conv{idx}")(x)
                     x = nn.relu(x)
             outs.append(x)

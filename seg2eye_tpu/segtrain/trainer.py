@@ -176,11 +176,20 @@ class SegTrainer:
         from seg2eye_tpu.parallel.sharding import replicate_state
         return replicate_state(state, self.mesh)
 
+    def _compute_dtype(self):
+        """--precision: bf16 convs via the models' input-dtype-following
+        policy (models/deeplab.py ConvBN); f32 default = reference parity."""
+        return jnp.bfloat16 if getattr(self.args, "precision",
+                                       "float32") == "bfloat16" \
+            else jnp.float32
+
     def _build_train_step(self):
         model, criterion, tx = self.model, self.criterion, self.tx
         freeze_bn = bool(self.args.freeze_bn)
+        dtype = self._compute_dtype()
 
         def step(state, image, target, lr, rng):
+            image = image.astype(dtype)
             state["opt"].hyperparams["learning_rate"] = lr
 
             def loss_fn(params):
@@ -213,10 +222,11 @@ class SegTrainer:
 
     def _build_eval_step(self):
         model, criterion, nclass = self.model, self.criterion, self.nclass
+        dtype = self._compute_dtype()
 
         def step(params, batch_stats, image, target):
             variables = {"params": params, "batch_stats": batch_stats}
-            logits = model.apply(variables, image, train=False,
+            logits = model.apply(variables, image.astype(dtype), train=False,
                                  deterministic=True)
             loss = criterion(logits, target)
             pred = jnp.argmax(logits, axis=-1)
@@ -368,6 +378,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="dataset root (replaces the reference's hardcoded "
                         "mypath.py paths); default $SEG2EYE_DATA_ROOT or "
                         "./datasets")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for the DeepLab convs (TPU-native "
+                        "mixed precision: params, BN statistics and the "
+                        "loss stay f32).  Default float32 = exact reference "
+                        "semantics (the reference trainer has no AMP)")
     return p
 
 

@@ -109,7 +109,10 @@ def test_resize_cache_accounting_invariants(ops, limit_kb):
     cache = transforms.ResizeCache(0)
     cache.limit = limit_kb << 10        # sub-MB caps for the test
     for key, kb in ops:
-        v = cache.get(key, lambda kb=kb: np.zeros(kb << 10, np.uint8))
+        # key on (key, kb): in real use the key determines the content, so
+        # the same key never maps to two different payload sizes (a hit on
+        # a repeated key legitimately returns the first payload)
+        v = cache.get((key, kb), lambda kb=kb: np.zeros(kb << 10, np.uint8))
         assert v.nbytes == kb << 10
         assert cache.size == sum(a.nbytes for a in cache._d.values())
         assert cache.size <= cache.limit or not cache._d

@@ -73,6 +73,27 @@ def test_deeplab_tiny_forward():
     assert out.shape == (2, 64, 64, 4)
 
 
+@pytest.mark.parametrize("bk", ["resnet", "xception", "drn", "mobilenet"])
+def test_deeplab_bf16_compute_propagates(bk):
+    """The compute dtype follows the input through every backbone: a bf16
+    input must come out bf16 (convs on the MXU at bf16 rate, params/BN f32)
+    and match the f32 program within bf16 rounding.  Without the explicit
+    dtype= threading flax promotes activations back to the f32 params and
+    the whole DeepLab path silently computes in f32 (the pre-round-4 bug:
+    compute_dtype='bfloat16' only cast the input)."""
+    kw = dict(resnet_layers=(1, 1, 1, 1)) if bk == "resnet" else {}
+    net = DeepLab(backbone=bk, output_stride=16, num_classes=2, **kw)
+    rng = np.random.default_rng(0)
+    x32 = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), x32)
+    out32 = jax.jit(net.apply)(v, x32)
+    out16 = jax.jit(net.apply)(v, x32.astype(jnp.bfloat16))
+    assert out16.dtype == jnp.bfloat16, bk
+    diff = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
+    scale = np.abs(np.asarray(out32)).max() + 1e-6
+    assert diff.max() / scale < 0.1, (bk, diff.max(), scale)
+
+
 def test_colorize_segmap():
     seg = np.array([[0, 1], [2, 3]], np.uint8)
     out = colorize_segmap(seg)

@@ -519,6 +519,22 @@ def test_trainer_end_to_end(voc_env):
     assert t3.args.start_epoch == 0
 
 
+def test_trainer_bf16_precision(voc_env):
+    """--precision bfloat16: convs compute bf16 (params/BN/loss f32), the
+    loop trains and evaluates finite, and the trajectory stays near the f32
+    run (TPU-native mixed precision; default float32 = reference parity)."""
+    from seg2eye_tpu.segtrain.trainer import SegTrainer, build_argparser
+    assert build_argparser().parse_args([]).precision == "float32"
+    t16 = SegTrainer(_tiny_args(voc_env, precision="bfloat16",
+                                checkname="deeplab-bf16"))
+    t32 = SegTrainer(_tiny_args(voc_env, checkname="deeplab-f32"))
+    l16, l32 = t16.training(0), t32.training(0)
+    assert np.isfinite(l16) and np.isfinite(l32)
+    assert abs(l16 - l32) < 0.1 * abs(l32) + 0.05, (l16, l32)
+    miou = t16.validation(0)
+    assert 0.0 <= miou <= 1.0
+
+
 def test_trainer_balanced_weights_wiring(voc_env):
     """--use-balanced-weights computes + caches the class weights and bakes
     them into the criterion (train.py:46-57)."""
