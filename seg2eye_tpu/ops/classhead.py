@@ -1,0 +1,60 @@
+"""Class-axis reductions for few-class segmentation heads, TPU-layout-aware.
+
+``argmax``/``log_softmax``/one-hot contractions over a small trailing class
+axis C put C in the minor (lane) dimension, so the VPU runs at C/128 lane
+utilization — measured ~10 ms of pure overhead per SegNet eval step at
+(8,640,400,4) on v5e (tools/probe_segnet_overhead.py).  Reformulating as C
+full-plane passes over (B,H,W) slices (minor dim = W) makes the whole
+metric/loss head free: full forward 25.3 -> 15.4 ms against a 15.7 ms bare
+backbone (argmax alone cost 3.2 ms; onehot CE 6.4 ms).
+
+Unrolled over C, so intended for small static C (the OpenEDS SegNet's 4;
+fine up to a few dozen).  Semantics match jnp exactly up to float
+associativity: argmax keeps the FIRST maximal index on ties (strict ``>``),
+CE is logsumexp-stabilized.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sliced_argmax(logits: jax.Array) -> jax.Array:
+    """argmax over the trailing class axis of (..., C) via C plane passes.
+
+    Tie semantics match ``jnp.argmax``: first maximal index wins.
+    """
+    nc = logits.shape[-1]
+    best = logits[..., 0]
+    idx = jnp.zeros(logits.shape[:-1], jnp.int32)
+    for i in range(1, nc):
+        s = logits[..., i]
+        take = s > best
+        best = jnp.where(take, s, best)
+        idx = jnp.where(take, jnp.int32(i), idx)
+    return idx
+
+
+def sliced_nll(logits: jax.Array, labels: jax.Array
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel cross-entropy over the trailing class axis of (..., C).
+
+    Returns ``(nll, argmax)`` — the argmax rides along because both need
+    the same running maximum.  ``labels`` is integer (...,); out-of-range
+    labels pick class 0's logit (callers mask validity themselves).
+    """
+    nc = logits.shape[-1]
+    best = logits[..., 0]
+    idx = jnp.zeros(logits.shape[:-1], jnp.int32)
+    picked = logits[..., 0]
+    for i in range(1, nc):
+        s = logits[..., i]
+        take = s > best
+        best = jnp.where(take, s, best)
+        idx = jnp.where(take, jnp.int32(i), idx)
+        picked = jnp.where(labels == i, s, picked)
+    sumexp = sum(jnp.exp(logits[..., i] - best) for i in range(nc))
+    lse = best + jnp.log(sumexp)
+    return lse - picked, idx

@@ -73,6 +73,40 @@ def test_deeplab_tiny_forward():
     assert out.shape == (2, 64, 64, 4)
 
 
+def test_classhead_matches_jnp_forms():
+    """sliced_argmax/sliced_nll (ops/classhead.py) match the canonical jnp
+    forms — including FIRST-index tie semantics and the CE gradient (the
+    sliced forms exist purely for TPU lane utilization, not new math)."""
+    from seg2eye_tpu.ops.classhead import sliced_argmax, sliced_nll
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 8, 9, 4)).astype(np.float32)
+    # force exact ties, incl. a global-max tie (argmax must pick the first)
+    logits[0, 0, 0, :] = 1.5
+    logits[1, 2, 3, 1] = logits[1, 2, 3, 3] = logits[1, 2, 3].max() + 1.0
+    labels = rng.integers(0, 4, (2, 8, 9)).astype(np.int32)
+    lj, tj = jnp.asarray(logits), jnp.asarray(labels)
+
+    assert np.array_equal(np.asarray(jax.jit(sliced_argmax)(lj)),
+                          np.asarray(jnp.argmax(lj, -1)))
+
+    def ref_nll(lg):
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        oh = jax.nn.one_hot(tj, lg.shape[-1], dtype=logp.dtype)
+        return jnp.mean(-jnp.sum(logp * oh, -1))
+
+    def new_nll(lg):
+        nll, _ = sliced_nll(lg, tj)
+        return jnp.mean(nll)
+
+    v_ref, g_ref = jax.jit(jax.value_and_grad(ref_nll))(lj)
+    v_new, g_new = jax.jit(jax.value_and_grad(new_nll))(lj)
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)
+    _, pred = jax.jit(sliced_nll)(lj, tj)
+    assert np.array_equal(np.asarray(pred), np.asarray(jnp.argmax(lj, -1)))
+
+
 @pytest.mark.parametrize("bk", ["resnet", "xception", "drn", "mobilenet"])
 def test_deeplab_bf16_compute_propagates(bk):
     """The compute dtype follows the input through every backbone: a bf16
