@@ -42,6 +42,10 @@ os.environ.setdefault(
 configure_from_env()
 
 import jax                                               # noqa: E402
+# module scope on purpose: importing this inside measure()'s except handler
+# would make `jax` a local of the whole function and unbind every other
+# `jax.` reference there (the round-2 UnboundLocalError regression)
+import jax.extend.backend                                # noqa: E402
 import numpy as np                                       # noqa: E402
 
 from seg2eye_tpu.models.pix2pix import Pix2Pix           # noqa: E402
@@ -102,7 +106,6 @@ def measure(bs_candidates, steps_n: int, reuse_fake: bool):
                 print(f"[bench] bs={bs} attempt {attempt + 1} failed "
                       f"({type(e).__name__}: {str(e)[:200]})",
                       file=sys.stderr)
-                import jax.extend.backend
                 jax.clear_caches()
                 jax.extend.backend.clear_backends()
                 # a wedged tunnel needs time to recover; retrying
