@@ -55,6 +55,15 @@ def test_collective_traffic_parser():
     assert counts["all-to-all"] == 0
 
 
+def test_segnet_dp_dryrun_runs():
+    """The driver's MULTICHIP artifact must certify BOTH training systems
+    (round-3 verdict item 4): execute the SegNet DP dryrun — one real SGD
+    step on the 8-device mesh plus its collective-traffic bound — exactly
+    as dryrun_multichip invokes it."""
+    import __graft_entry__ as g
+    g._dryrun_segnet_dp(8)
+
+
 def test_dp_step_collectives_are_bounded():
     """Compile the TINY fused G+D step pure-DP over the 8-device mesh and
     assert the gradient all-reduce volume is O(param bytes) with no
