@@ -42,13 +42,16 @@ def sliced_nll(logits: jax.Array, labels: jax.Array
     """Per-pixel cross-entropy over the trailing class axis of (..., C).
 
     Returns ``(nll, argmax)`` — the argmax rides along because both need
-    the same running maximum.  ``labels`` is integer (...,); out-of-range
-    labels pick class 0's logit (callers mask validity themselves).
+    the same running maximum.  ``labels`` is integer (...,); an
+    out-of-range label (e.g. a corrupted or 255-style ignore value —
+    OpenEDS guarantees 0..3) poisons that pixel's nll to NaN so the loss
+    fails LOUDLY, matching torch NLLLoss's device-side assert in spirit,
+    instead of silently contributing class 0's logit.
     """
     nc = logits.shape[-1]
     best = logits[..., 0]
     idx = jnp.zeros(logits.shape[:-1], jnp.int32)
-    picked = logits[..., 0]
+    picked = jnp.where(labels == 0, logits[..., 0], jnp.float32(jnp.nan))
     for i in range(1, nc):
         s = logits[..., i]
         take = s > best

@@ -151,6 +151,9 @@ class SegNetModel:
             labels = labels.astype(jnp.int32)
             if labels.ndim == 4:
                 labels = labels[..., 0]
+            # OpenEDS labels are guaranteed 0..3 (data/prepare_openeds.py);
+            # sliced_nll NaN-poisons any out-of-range label so corrupted
+            # data fails loudly rather than silently skewing the loss
             ce, pred = sliced_nll(logits, labels)
             out["prediction"] = pred
             out["ce_loss"] = jnp.mean(ce)

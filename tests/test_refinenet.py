@@ -107,6 +107,24 @@ def test_classhead_matches_jnp_forms():
     assert np.array_equal(np.asarray(pred), np.asarray(jnp.argmax(lj, -1)))
 
 
+def test_classhead_nll_poisons_out_of_range_labels():
+    """An out-of-range label (corrupted data, 255-style ignore) must fail
+    LOUDLY — NaN at exactly the bad pixels — not silently contribute class
+    0's logit (round-2 advisor finding, ops/classhead.py)."""
+    from seg2eye_tpu.ops.classhead import sliced_nll
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(1, 4, 5, 4)).astype(np.float32))
+    labels = rng.integers(0, 4, (1, 4, 5)).astype(np.int32)
+    labels[0, 1, 2] = 255                     # corrupted / ignore-style
+    labels[0, 3, 0] = -1
+    nll, _ = jax.jit(sliced_nll)(logits, jnp.asarray(labels))
+    nll = np.asarray(nll)
+    assert np.isnan(nll[0, 1, 2]) and np.isnan(nll[0, 3, 0])
+    good = np.ones((1, 4, 5), bool)
+    good[0, 1, 2] = good[0, 3, 0] = False
+    assert np.isfinite(nll[good]).all()
+
+
 @pytest.mark.parametrize("bk", ["resnet", "xception", "drn", "mobilenet"])
 def test_deeplab_bf16_compute_propagates(bk):
     """The compute dtype follows the input through every backbone: a bf16

@@ -1,0 +1,148 @@
+"""Seg2Eye (pix2pix) mixed-precision convergence twin — VGG loss path.
+
+Round-2 advisor finding (models/pix2pix.py:305): casting the VGG
+perceptual-loss input to the model's compute dtype changes the GAN's loss
+numerics under the production bfloat16 default, and only the SegNet arm had
+a bf16-vs-f32 twin.  This runs the REAL fused G+D training step twice on
+the learnable synthetic OpenEDS set — once at float32 and once at
+``compute_dtype='bfloat16'`` — with ``--no_vgg_loss=False`` so the
+perceptual path (VGG19 forward in compute dtype, L1 accumulated f32,
+models/vgg.py) is part of the optimized objective, and compares the
+validation relative-error trajectories.
+
+Both arms share bit-identical f32 parameters (params are always f32; only
+compute differs) including the frozen VGG features, which are seed-matched
+random here: no torchvision zoo is reachable (PARITY.md "Pretrained
+backbones"), and for a numerics twin the question is drift of the same
+program under bf16, not perceptual quality — random features exercise the
+identical cast/fusion path.
+
+Toy geometry on this 1-core CPU host (recorded in the JSON): same code
+path as production, not the same scale — the same caveat as
+tools/refinenet_precision_twin.py.
+
+Usage:
+  python tools/pix2pix_precision_twin.py [--steps 150] [--eval_every 50] \
+      [--out evidence/pix2pix_precision_twin.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, "tests", ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from seg2eye_tpu.data import schema                      # noqa: E402
+from seg2eye_tpu.data.loader import create_dataloader    # noqa: E402
+from seg2eye_tpu.eval.tester import Tester               # noqa: E402
+from seg2eye_tpu.models.pix2pix import Pix2Pix           # noqa: E402
+from seg2eye_tpu.options import Options                  # noqa: E402
+from seg2eye_tpu.train import state as state_lib         # noqa: E402
+from seg2eye_tpu.train.loop import device_batch          # noqa: E402
+from seg2eye_tpu.train.steps import StepFunctions        # noqa: E402
+
+GEOM = dict(h=64, w=40, ngf=4, ndf=4, crop_size=32, w_dim=8, input_ns=2,
+            batch_size=8)
+
+
+def run_arm(data: str, dtype: str, n_steps: int, eval_every: int):
+    opt = Options(batchSize=GEOM["batch_size"], dataroot=data,
+                  name=f"pix2pix_twin_{dtype}",
+                  checkpoints_dir="runs/pix2pix_precision_twin/ckpt",
+                  ngf=GEOM["ngf"], ndf=GEOM["ndf"],
+                  crop_size=GEOM["crop_size"], aspect_ratio=1.0,
+                  w_dim=GEOM["w_dim"], input_ns=GEOM["input_ns"],
+                  no_vgg_loss=False,          # the path under test
+                  compute_dtype=dtype).finalize()
+    model = Pix2Pix(opt)
+    steps = StepFunctions(model)
+    # seed-matched init: identical f32 params (incl. frozen VGG) both arms
+    state = state_lib.create_state(model, jax.random.PRNGKey(opt.seed))
+    dataloader = create_dataloader(opt)
+    tester = Tester(opt, dataset_key="validation")
+
+    curve = []
+
+    def evaluate(step_n, losses):
+        errs = tester.run(model, state.variables, mode="full")
+        rec = {"step": step_n,
+               "val_rel_error": float(errs["mse/validation/full/relative"]),
+               "vgg_raw": float(np.mean(np.asarray(losses["VGG/raw"])))
+               if losses else None}
+        curve.append(rec)
+        print(f"[{dtype}]", json.dumps(rec))
+
+    n, losses = 0, None
+    evaluate(0, None)
+    while n < n_steps:
+        for batch in dataloader:
+            state, losses, _ = steps.train_step(state,
+                                                device_batch(batch, None))
+            n += 1
+            if n % eval_every == 0:
+                evaluate(n, losses)
+            if n >= n_steps:
+                break
+    if n % eval_every:
+        evaluate(n, losses)
+    return curve
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--eval_every", type=int, default=50)
+    ap.add_argument("--workdir", default="runs/pix2pix_precision_twin")
+    ap.add_argument("--out", default="evidence/pix2pix_precision_twin.json")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    data = os.path.join(args.workdir, "data.h5")
+    if not os.path.exists(data):
+        schema.write_synthetic_h5(data, h=GEOM["h"], w=GEOM["w"], n_ss=8,
+                                  learnable=True)
+
+    c32 = run_arm(data, "float32", args.steps, args.eval_every)
+    c16 = run_arm(data, "bfloat16", args.steps, args.eval_every)
+
+    f32, bf16 = c32[-1]["val_rel_error"], c16[-1]["val_rel_error"]
+    rel_gap = abs(f32 - bf16) / max(f32, 1e-9)
+    # pass = both arms actually learn (final < initial) and the bf16 arm
+    # lands within 20% relative of the f32 arm's final validation error —
+    # GAN training at 150 toy steps is noisy; this bounds divergence, it
+    # does not claim bitwise trajectories
+    ok = bool(bf16 < c16[0]["val_rel_error"] and f32 < c32[0]["val_rel_error"]
+              and rel_gap < 0.20)
+    result = {"metric": "pix2pix_vgg_precision_convergence_twin",
+              "steps": args.steps,
+              "geometry": {**GEOM, "data": "synthetic-learnable",
+                           "vgg_weights": "seed-matched random (no zoo)"},
+              "scale_caveat": "toy geometry; production is 320x256 "
+                              "ngf=64 — same code path, not same scale",
+              "curve_f32": c32, "curve_bf16": c16,
+              "final_f32": f32, "final_bf16": bf16,
+              "final_rel_gap": rel_gap, "pass": ok}
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items()
+                      if not k.startswith("curve")}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,8 +49,12 @@ class Stem(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=x.dtype,
                     kernel_init=kaiming_init(), name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=x.dtype,
-                         name="bn1")(x)
+        # f32 BN + cast back, matching the real model's stem exactly
+        # (models/deeplab.py ResNetBackbone bn1) so the timing attribution
+        # shares production numerics/fusion (round-2 advisor finding)
+        dt = x.dtype
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                         name="bn1")(x).astype(dt)
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2),
                            padding=((1, 1), (1, 1)))

@@ -103,7 +103,19 @@ def main() -> int:
     acc_gap = abs(final32["accuracy"] - final16["accuracy"])
     ok = bool(acc_gap < 0.02 and final32["accuracy"] > 0.8)
     result = {"metric": "segnet_precision_convergence_twin",
-              "steps": args.steps, "curve": curve,
+              "steps": args.steps,
+              # scale caveat (round-2 advisor finding): this twin runs at
+              # TOY geometry on synthetic data — it bounds compounded bf16
+              # drift of the same code path, NOT the production
+              # 640x400/resnet-101 run; record the geometry so evidence
+              # readers see the gap
+              "geometry": {"input_width": 40, "input_height": 64,
+                           "backbone": "resnet", "resnet_depth": 14,
+                           "batch_size": args.batch_size,
+                           "data": "synthetic-learnable"},
+              "scale_caveat": "toy geometry; production is 640x400 "
+                              "resnet-101 — same code path, not same scale",
+              "curve": curve,
               "final_f32": final32, "final_bf16": final16,
               "final_accuracy_gap": acc_gap, "pass": ok}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
