@@ -101,6 +101,45 @@ def test_no_model_code_needed(artifact, tmp_path):
     assert fake.shape == (3, 32, 32, 1)
 
 
+def test_running_stats_bundle_is_batch_composition_invariant(tmp_path):
+    """The promoted serving default (running statistics,
+    tools/export_serving.py --stats running) makes sample i's output
+    independent of its batch neighbors; the reference-parity batch-stats
+    program does not (SPADE BNs normalize over the serving batch — the
+    reference Tester never calls .eval()).  Both bundles are exported from
+    the SAME weights; only the baked statistics mode differs."""
+    variables = None
+    bundles = {}
+    for stats in ("running", "batch"):
+        opt = small_opt(eval_use_running_stats=(stats == "running"))
+        model = Pix2Pix(opt)
+        if variables is None:
+            variables = model.init_variables(jax.random.PRNGKey(0))
+        out = str(tmp_path / f"art_{stats}")
+        export_inference(model, variables, out, native_hw=(64, 40),
+                         platforms=("cpu",))
+        served = load_serving(out)
+        assert served.meta["baked_options"]["eval_use_running_stats"] == \
+            (stats == "running")
+        bundles[stats] = served
+
+    opt = small_opt()
+    label, style = _batch(opt, 3, seed=7)
+    for stats, served in bundles.items():
+        full, _ = served(label, style)
+        solo0, _ = served(label[:1], style[:1])
+        row_drift = np.abs(full[0] - solo0[0]).max()
+        if stats == "running":
+            assert row_drift < 1e-5, row_drift
+        else:
+            # batch statistics: changing the batch changes the output
+            assert row_drift > 1e-3, row_drift
+    # different statistics -> different programs (not a silent no-op)
+    f_run, _ = bundles["running"](label, style)
+    f_bat, _ = bundles["batch"](label, style)
+    assert np.abs(f_run - f_bat).max() > 1e-3
+
+
 def test_default_native_orientation(tmp_path):
     """The default export bakes the OpenEDS native eval size in the SAME
     orientation the Tester scores at: H=640, W=400 (eval/tester.py

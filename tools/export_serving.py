@@ -40,6 +40,15 @@ def main() -> int:
     ap.add_argument("--native_hw", default="640,400",
                     help="native eval size H,W for the [0,255] output "
                          "(OpenEDS native: 640,400)")
+    ap.add_argument("--stats", choices=("running", "batch"),
+                    default="running",
+                    help="BN statistics baked into the serving program. "
+                         "'running' (default) = proper eval mode: "
+                         "deterministic per-sample outputs (batch-"
+                         "composition-invariant) and ~12%% faster "
+                         "(PARITY.md 'Serving statistics'). 'batch' = "
+                         "exact reference semantics (its Tester never "
+                         "calls .eval(), util/tester.py:98-121).")
     ap.add_argument("--verify", action="store_true",
                     help="reload the artifact and compare against the live "
                          "model on a random batch")
@@ -56,6 +65,11 @@ def main() -> int:
     # --load_from_opt_file would)
     opt = Options.load(os.path.join(args.checkpoints_dir, args.name))
     opt.isTrain = False
+    # serving default is running statistics (documented deviation from the
+    # reference Tester's train-mode inference; evidence:
+    # evidence/serving_stats_study.json) — --stats batch opts back into
+    # exact reference semantics
+    opt.eval_use_running_stats = args.stats == "running"
     opt.finalize()
     model = Pix2Pix(opt)
     state = state_lib.create_state(model, jax.random.PRNGKey(0))
