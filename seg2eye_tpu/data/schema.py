@@ -138,6 +138,72 @@ def write_synthetic_h5(path: str, users: Sequence[str] = ("U001", "U002"),
     return path
 
 
+def write_synthetic_raw_tree(root: str,
+                             users: Sequence[str] = ("U001", "U002"),
+                             n_ss: int = 3, n_gen: int = 4, n_seq: int = 2,
+                             h: int = NATIVE_H, w: int = NATIVE_W,
+                             seed: int = 0, learnable: bool = False) -> str:
+    """Write a tiny *raw* (pre-packing) OpenEDS folder tree — the form the
+    challenge distributed and ``prepare_openeds.py`` consumes (reference:
+    data/prepare_openeds.py:20-52): per-split Semantic_Segmentation_Dataset
+    (images/ + labels/), Generative_Dataset, Sequence_Dataset folders plus
+    the OpenEDS_<split>_userID_mapping_to_images.json files.  With
+    ``learnable=True`` labeled images are the deterministic rendering of
+    their masks (same target function as write_synthetic_h5)."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+
+    def write_png(folder, fid, arr):
+        os.makedirs(folder, exist_ok=True)
+        Image.fromarray(arr).save(os.path.join(folder, fid))
+
+    for split in ("train", "validation", "test"):
+        mapping = []
+        for user in users:
+            ss_ids = [f"{user}_ss_{i:04d}.png" for i in range(n_ss)]
+            gen_ids = [f"{user}_g_{i:05d}.png" for i in range(n_gen)]
+            seq_ids = [f"{user}_s_{i:05d}.png" for i in range(n_seq)]
+            mapping.append({"id": user,
+                            "semantic_segmenation_images": ss_ids,
+                            "generative_images": gen_ids,
+                            "sequence_images": seq_ids})
+            ss_dir = os.path.join(root, "Semantic_Segmentation_Dataset",
+                                  split)
+            lab = _blob_masks(rng, n_ss, h, w)
+            im = _render(lab, rng) if learnable else \
+                rng.integers(0, 256, (n_ss, h, w), dtype=np.uint8)
+            for i, fid in enumerate(ss_ids):
+                write_png(os.path.join(ss_dir, "images"), fid, im[i])
+                os.makedirs(os.path.join(ss_dir, "labels"), exist_ok=True)
+                np.save(os.path.join(ss_dir, "labels", fid[:-4] + ".npy"),
+                        lab[i])
+            gen_dir = os.path.join(root, "Generative_Dataset", split)
+            gen_lab = _blob_masks(rng, n_gen, h, w)
+            gen_im = _render(gen_lab, rng) if learnable else \
+                rng.integers(0, 256, (n_gen, h, w), dtype=np.uint8)
+            for i, fid in enumerate(gen_ids):
+                write_png(gen_dir, fid, gen_im[i])
+                if split == "test":
+                    os.makedirs(os.path.join(gen_dir, "labels"),
+                                exist_ok=True)
+                    np.save(os.path.join(gen_dir, "labels",
+                                         fid[:-4] + ".npy"), gen_lab[i])
+            seq_dir = os.path.join(root, "Sequence_Dataset", split)
+            seq_lab = _blob_masks(rng, n_seq, h, w)
+            seq_im = _render(seq_lab, rng) if learnable else \
+                rng.integers(0, 256, (n_seq, h, w), dtype=np.uint8)
+            for i, fid in enumerate(seq_ids):
+                write_png(seq_dir, fid, seq_im[i])
+        with open(os.path.join(
+                root, f"OpenEDS_{split}_userID_mapping_to_images.json"),
+                "w") as f:
+            json.dump(mapping, f)
+    return root
+
+
 def write_synthetic_style_ref(path: str, data_path: str,
                               use_subsets: bool = False, seed: int = 0) -> str:
     """Similarity-ranking fixture joined against a data H5 (the structure the

@@ -1,0 +1,44 @@
+"""Full CLI dress rehearsal (tools/dress_rehearsal.py): raw OpenEDS tree ->
+prepare -> train.py -> test.py --produce_npy -> segnet train/eval -> style
+ranking -> refinenet train/eval -> submission manifest.
+
+Chains 9 real subprocesses (~6-10 min on this 1-core host), so it only runs
+when explicitly requested:
+
+    SEG2EYE_E2E=1 python -m pytest tests/test_dress_rehearsal.py -q
+
+The recorded artifact of the last full run is evidence/dress_rehearsal.json.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.environ.get("SEG2EYE_E2E"),
+                    reason="full CLI chain (~6-10 min); set SEG2EYE_E2E=1")
+def test_cli_dress_rehearsal(tmp_path):
+    out = tmp_path / "result.json"
+    proc = subprocess.run(
+        [sys.executable, "tools/dress_rehearsal.py",
+         "--workdir", str(tmp_path / "wd"), "--steps", "2",
+         "--out", str(out)],
+        cwd=REPO, text=True, capture_output=True, timeout=3600)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    rec = json.loads(out.read_text())
+    assert rec["ok"]
+    assert rec["submission_manifest_files"] > 0
+    assert rec["seg2eye_manifest_files"] > 0
+    assert len(rec["stages"]) == 10  # fixture + 9 CLI stages
+
+
+def test_rehearsal_evidence_is_current():
+    """The committed artifact must parse and record a passing chain."""
+    path = os.path.join(REPO, "evidence", "dress_rehearsal.json")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["ok"] and rec["submission_manifest_files"] > 0
