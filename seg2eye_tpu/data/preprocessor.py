@@ -59,10 +59,65 @@ def normalize(image: np.ndarray) -> np.ndarray:
 
 
 def equalize(image_u8: np.ndarray) -> np.ndarray:
-    """Histogram equalization (preprocessor.py equalize; cv2.equalizeHist)."""
+    """Histogram equalization (preprocessor.py equalize): grayscale via
+    cv2.equalizeHist; color via the YCrCb luma channel (preprocessor.py
+    :19-27 — 'proper colour image intensity equalization')."""
     if cv2 is None:
         return image_u8
-    return cv2.equalizeHist(np.asarray(image_u8, np.uint8))
+    image_u8 = np.asarray(image_u8, np.uint8)
+    if image_u8.ndim == 2:
+        return cv2.equalizeHist(image_u8)
+    ycrcb = cv2.cvtColor(image_u8, cv2.COLOR_RGB2YCrCb)
+    ycrcb[:, :, 0] = cv2.equalizeHist(ycrcb[:, :, 0])
+    return cv2.cvtColor(ycrcb, cv2.COLOR_YCrCb2RGB)
+
+
+# ImageNet statistics the reference's vgg_transform hardcodes
+# (preprocessor.py:14-15)
+VGG_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+VGG_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def vgg_normalize(image: np.ndarray) -> np.ndarray:
+    """Per-channel ImageNet normalize of (..., H, W, 3) float images in
+    [0,1] (preprocessor.py vgg_normalize — NHWC here, not CHW)."""
+    return (np.asarray(image, np.float32) - VGG_MEAN) / VGG_STD
+
+
+def to_range01(image: np.ndarray) -> np.ndarray:
+    """[-1,1] -> [0,1] (preprocessor.py toRange01; like the reference it
+    warns rather than errors on out-of-range input)."""
+    image = np.asarray(image, np.float32)
+    if image.min() < -1 or image.max() > 1:
+        print(f"Tensor not in range [-1, 1]. Min: {image.min()}, "
+              f"max: {image.max()}")
+    return (image + 1.0) / 2.0
+
+
+def gray2rgb(image: np.ndarray) -> np.ndarray:
+    """(H,W) -> (H,W,3) by channel repeat (preprocessor.py gray2rgb)."""
+    return np.repeat(np.expand_dims(image, axis=2), 3, axis=2)
+
+
+def rgb2gray(image: np.ndarray) -> np.ndarray:
+    """(H,W,3) -> channel-mean grayscale, re-expanded to 3 channels
+    (preprocessor.py rgb2gray returns gray2rgb of the mean)."""
+    return gray2rgb(np.mean(image, axis=2))
+
+
+def preprocess_eye(image: np.ndarray, width: int = 60,
+                   height: int = 36) -> np.ndarray:
+    """The legacy gaze-net input pipeline (preprocessor.py preprocess):
+    cubic-rescale to (height,width) if needed, equalize, then the
+    x*2/255-1 normalize.  Returns float32 HW[C] (NHWC-native — the
+    reference's trailing hwc2chw existed for torch)."""
+    image = np.asarray(image)
+    if image.shape[:2] != (height, width) and cv2 is not None:
+        image = cv2.resize(image, dsize=(width, height),
+                           interpolation=cv2.INTER_CUBIC)
+    image = equalize(image)
+    out = image.astype(np.float32) * 2.0 / 255.0 - 1.0
+    return out.astype(np.float32)
 
 
 def get_error_map(fake: np.ndarray, target: np.ndarray) -> np.ndarray:

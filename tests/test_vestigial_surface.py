@@ -1,0 +1,190 @@
+"""Tests for the formerly-dropped vestigial reference surface, now
+implemented: gaze/MoE losses (refinenet/losses.py), the legacy augmentation
+pipeline (data/augment.py), and the SPADE label colormaps
+(utils/colormap.py).  Parity oracles are direct numpy transcriptions of the
+reference math (refinenet/losses/*.py, data/preprocessor.py:158-273,
+util/util.py:229-271)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+# --------------------------------------------------------------------- #
+# gaze / MoE expert losses
+# --------------------------------------------------------------------- #
+def _np_to_vector(a):
+    """Oracle: angular_error.py:10-23 (note -sin(pitch))."""
+    a = np.asarray(a, np.float64)
+    if a.shape[-1] == 2:
+        sin, cos = np.sin(a), np.cos(a)
+        return np.stack([cos[..., 0] * sin[..., 1], -sin[..., 0],
+                         cos[..., 0] * cos[..., 1]], axis=-1)
+    return a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+
+
+def _np_angular(a, b):
+    va, vb = _np_to_vector(a), _np_to_vector(b)
+    sim = np.sum(va * vb, -1) / np.maximum(
+        np.linalg.norm(va, axis=-1) * np.linalg.norm(vb, axis=-1), 1e-8)
+    return np.degrees(np.arccos(np.clip(sim, -1 + 1e-8, 1 - 1e-8)))
+
+
+def test_angular_error_matches_reference_math():
+    from seg2eye_tpu.refinenet.losses import angular_error
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1.2, 1.2, (16, 2)).astype(np.float32)
+    b = rng.uniform(-1.2, 1.2, (16, 2)).astype(np.float32)
+    got = np.asarray(jax.jit(angular_error)(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, _np_angular(a, b), rtol=1e-4, atol=1e-3)
+    # identical gaze -> ~0 deg (the 1e-8 hardtanh keeps it finite, not 0)
+    same = np.asarray(angular_error(jnp.asarray(a), jnp.asarray(a)))
+    assert (same < 0.05).all()
+    # 3-vector inputs are normalized first (F.normalize semantics)
+    v = rng.normal(size=(8, 3)).astype(np.float32)
+    got3 = np.asarray(angular_error(jnp.asarray(v), jnp.asarray(3.0 * v)))
+    assert (got3 < 0.05).all()
+
+
+def test_gaze_mse_and_experts_forms():
+    from seg2eye_tpu.refinenet.losses import (angular_error,
+                                              experts_angular_error,
+                                              experts_gaze_mse_error,
+                                              gaze_mse_error)
+    rng = np.random.default_rng(1)
+    true = rng.uniform(-1.0, 1.0, (4, 2)).astype(np.float32)
+    preds = rng.uniform(-1.0, 1.0, (4, 5, 2)).astype(np.float32)
+
+    per_expert = np.asarray(jax.jit(experts_angular_error)(
+        jnp.asarray(preds), jnp.asarray(true)))
+    assert per_expert.shape == (4, 5)
+    # expert e's error == the plain pairwise angular error
+    for e in range(5):
+        np.testing.assert_allclose(
+            per_expert[:, e], _np_angular(preds[:, e], true),
+            rtol=1e-4, atol=1e-3)
+
+    mse = float(gaze_mse_error(jnp.asarray(true), jnp.asarray(true)))
+    assert mse == 0.0
+    emse = np.asarray(jax.jit(experts_gaze_mse_error)(
+        jnp.asarray(preds), jnp.asarray(true)))
+    assert emse.shape == (4, 5)                 # keeps the expert axis
+    ref = np.mean((_np_to_vector(preds) -
+                   _np_to_vector(true)[:, None, :]) ** 2, axis=-1)
+    np.testing.assert_allclose(emse, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_losses_convention_matches_loss_files_not_gaze_utils():
+    """The loss files use -sin(pitch) (angular_error.py:16) while
+    core/gaze.py uses +sin; pairwise errors agree (reflection), mixed
+    pitchyaw-vs-vector comparisons need the losses' own convention."""
+    from seg2eye_tpu.refinenet.losses import to_vector
+    py = jnp.asarray([[0.3, -0.2]], jnp.float32)
+    v = np.asarray(to_vector(py))[0]
+    assert v[1] == pytest.approx(-np.sin(0.3), abs=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# legacy augmentation pipeline
+# --------------------------------------------------------------------- #
+def test_augmenter_value_from_type_difficulty_scaling():
+    from seg2eye_tpu.data.augment import Augmenter
+    a0 = Augmenter(True, difficulty=0.0)
+    a1 = Augmenter(True, difficulty=1.0)
+    assert a0.value_from_type("intensity") == pytest.approx(0.5)
+    assert a1.value_from_type("intensity") == pytest.approx(20.0)
+    # inverted range: easy 1.0 (no rescale) -> hard 0.2, clipped both ways
+    assert a0.value_from_type("rescale") == pytest.approx(1.0)
+    assert a1.value_from_type("rescale") == pytest.approx(0.2)
+    assert Augmenter(True, difficulty=5.0).value_from_type("rescale") \
+        == pytest.approx(0.2)
+
+
+def test_augmenter_pipeline_shapes_and_determinism():
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+    from seg2eye_tpu.data.augment import Augmenter
+    rng = np.random.default_rng(3)
+    eye = rng.integers(0, 256, (72, 120), dtype=np.uint8)
+    out1 = Augmenter(True, difficulty=1.0,
+                     rng=np.random.default_rng(7))(eye)
+    out2 = Augmenter(True, difficulty=1.0,
+                     rng=np.random.default_rng(7))(eye)
+    assert out1.shape == eye.shape and out1.dtype == np.uint8
+    np.testing.assert_array_equal(out1, out2)     # explicit-RNG determinism
+    assert not np.array_equal(out1, eye)          # it actually augments
+    # rgb_noise renormalizes to the full [0,255] range (cv.NORM_MINMAX)
+    noised = Augmenter(True, difficulty=1.0,
+                       rng=np.random.default_rng(9)).rgb_noise(eye)
+    assert noised.min() == 0 and noised.max() == 255
+    # do_augmentation=False is the identity
+    np.testing.assert_array_equal(Augmenter(False)(eye), eye)
+
+
+def test_augmenter_headpose_to_radians():
+    from seg2eye_tpu.data.augment import Augmenter
+    out = Augmenter(True).headpose_to_radians((350.0, 170.0, 0.0))
+    # pitch 350 -> -10 -> negated 10deg; yaw 170 -> -10 -> negated 10deg
+    np.testing.assert_allclose(out, np.radians([10.0, 10.0]), rtol=1e-6)
+
+
+def test_preprocessor_extras():
+    from seg2eye_tpu.data import preprocessor as P
+    img = np.random.default_rng(0).integers(0, 256, (36, 60),
+                                            dtype=np.uint8)
+    out = P.preprocess_eye(img)
+    assert out.shape == (36, 60) and out.dtype == np.float32
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    rgb = P.gray2rgb(img)
+    assert rgb.shape == (36, 60, 3)
+    np.testing.assert_array_equal(P.rgb2gray(rgb)[..., 0],
+                                  rgb.mean(axis=2))
+    x = np.asarray([[0.485, 0.456, 0.406]], np.float32)[None]
+    np.testing.assert_allclose(P.vgg_normalize(x), 0.0, atol=1e-6)
+    np.testing.assert_allclose(P.to_range01(np.asarray([-1.0, 1.0])),
+                               [0.0, 1.0])
+
+
+# --------------------------------------------------------------------- #
+# label colormaps
+# --------------------------------------------------------------------- #
+def _reference_labelcolormap(n):
+    """Direct transcription of util/util.py:234-256 (generic branch)."""
+    from seg2eye_tpu.utils.colormap import uint82bin
+    cmap = np.zeros((n, 3), dtype=np.uint8)
+    for i in range(n):
+        r = g = b = 0
+        cid = i + 1
+        for j in range(7):
+            s = uint82bin(cid)
+            r = r ^ (np.uint8(s[-1]) << (7 - j))
+            g = g ^ (np.uint8(s[-2]) << (7 - j))
+            b = b ^ (np.uint8(s[-3]) << (7 - j))
+            cid = cid >> 3
+        cmap[i] = (r, g, b)
+    return cmap
+
+
+@pytest.mark.parametrize("n", [4, 21, 182, 300])
+def test_label_colormap_matches_reference_bit_twiddle(n):
+    from seg2eye_tpu.utils.colormap import label_colormap
+    np.testing.assert_array_equal(label_colormap(n),
+                                  _reference_labelcolormap(n))
+
+
+def test_label_colormap_cityscapes_special_case():
+    from seg2eye_tpu.utils.colormap import label_colormap
+    cmap = label_colormap(35)
+    assert cmap.shape == (35, 3)
+    np.testing.assert_array_equal(cmap[7], [128, 64, 128])   # road
+    np.testing.assert_array_equal(cmap[8], [244, 35, 232])   # sidewalk
+
+
+def test_colorize_labels_lut_gather():
+    from seg2eye_tpu.utils.colormap import colorize_labels, label_colormap
+    labels = np.asarray([[0, 1], [3, 7]])
+    out = colorize_labels(labels, 4)
+    assert out.shape == (2, 2, 3) and out.dtype == np.uint8
+    cmap = label_colormap(4)
+    np.testing.assert_array_equal(out[0, 0], cmap[0])
+    np.testing.assert_array_equal(out[1, 0], cmap[3])
+    np.testing.assert_array_equal(out[1, 1], [0, 0, 0])      # >= N -> black
