@@ -21,6 +21,11 @@ native eval size as truncated [0,255] integer-valued f32) — i.e. in-graph
 normalize, one-hot, k-style encode, generate, bilinear resize, truncating
 conversion (reference: postprocessor.py:58-72, tester.py:44-47); only
 integer-valued scores leave the device in the scoring path.
+
+``export_refiner`` does the same for the RefineNet system's two task
+models (the challenge-winning path, reference refinenet/evaluate_
+{refinenet,segnet}.py): uint8 inputs in, submission-ready uint8 outputs
+out, batch-polymorphic, one artifact per trained model.
 """
 from __future__ import annotations
 
@@ -121,6 +126,96 @@ def export_inference(model: Pix2Pix, variables: Dict, out_dir: str,
     return exported
 
 
+def export_refiner(model, variables: Dict, out_dir: str,
+                   platforms: Sequence[str] = ("cpu", "tpu")
+                   ) -> "jax.export.Exported":
+    """Export a RefineNet or SegNet task model as a serving artifact.
+
+    * RefineNetModel: uint8 stack (b,H,W,3) — colorized predicted mask |
+      NN reference image | NN reference mask, the refinenet/dataset.py
+      layout — -> (prediction f32 [-1,1] (b,H,W,1), submission uint8
+      (b,H,W) via the exact clip((pred+1)*255/2) truncation of
+      refinenet/evaluate_refinenet.py (reference :104-112)).
+    * SegNetModel: uint8 grayscale image (b,H,W,1) -> uint8 class-id map
+      (b,H,W) (argmax prediction, reference evaluate_segnet.py:107-151).
+
+    Inference uses batch-norm running averages (train=False — matching the
+    reference trainer's model.eval() test path); batch dim is symbolic.
+    """
+    from jax import export as jexport
+
+    from seg2eye_tpu.refinenet.model import RefineNetModel, SegNetModel
+
+    cfg = model.cfg
+    h, w = cfg.input_height, cfg.input_width
+    if isinstance(model, RefineNetModel):
+        kind, in_ch = "refinenet", 3
+
+        def fn(variables: Dict, stack: jax.Array):
+            out, _ = model.forward(variables, {"input": stack}, train=False)
+            pred = out["prediction"].astype(jnp.float32)
+            pred_u8 = jnp.clip((pred + 1.0) * (255.0 / 2.0),
+                               0, 255).astype(jnp.uint8)[..., 0]
+            return pred, pred_u8
+
+        outputs_meta = {
+            "prediction": {"shape": ["b", h, w, 1], "dtype": "float32",
+                           "doc": "refined image in [-1,1]"},
+            "prediction_u8": {"shape": ["b", h, w], "dtype": "uint8",
+                              "doc": "submission image, truncated "
+                                     "clip((pred+1)*255/2)"},
+        }
+        input_doc = ("colorized predicted mask | NN reference image | "
+                     "NN reference mask, raw [0,255]")
+    elif isinstance(model, SegNetModel):
+        kind, in_ch = "segnet", 1
+
+        def fn(variables: Dict, image: jax.Array):
+            out, _ = model.forward(variables, {"input": image}, train=False)
+            return out["prediction"].astype(jnp.uint8)
+
+        outputs_meta = {
+            "prediction": {"shape": ["b", h, w], "dtype": "uint8",
+                           "doc": "argmax class-id map (0..3)"},
+        }
+        input_doc = "grayscale eye image, raw [0,255]"
+    else:
+        raise TypeError(f"unsupported model {type(model).__name__}")
+
+    (b,) = jexport.symbolic_shape("b")
+    in_spec = jax.ShapeDtypeStruct((b, h, w, in_ch), jnp.uint8)
+    var_specs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        variables)
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(
+        var_specs, in_spec)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, PROGRAM), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(out_dir, VARIABLES), "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "model_type": kind,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "inputs": {
+            "input": {"shape": ["b", h, w, in_ch], "dtype": "uint8",
+                      "doc": input_doc},
+        },
+        "outputs": outputs_meta,
+        "baked_config": {
+            f: getattr(cfg, f)
+            for f in ("backbone", "output_stride", "resnet_depth",
+                      "input_height", "input_width", "compute_dtype")
+        },
+    }
+    with open(os.path.join(out_dir, META), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return exported
+
+
 class ServingModel:
     """Loads an exported artifact and runs it — NO model code involved.
 
@@ -143,10 +238,14 @@ class ServingModel:
                 f"supported {FORMAT_VERSION}")
         self._call = jax.jit(self.exported.call)
 
-    def __call__(self, label: np.ndarray, style: np.ndarray
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-        fake, fake_255 = self._call(self.variables, label, style)
-        return np.asarray(fake), np.asarray(fake_255)
+    def __call__(self, *inputs: np.ndarray):
+        """Run the program: Seg2Eye artifacts take (label, style) and
+        return (fake, fake_255); refiner artifacts take one input and
+        return their meta-declared outputs.  Tuples pass through."""
+        out = self._call(self.variables, *inputs)
+        if isinstance(out, (tuple, list)):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
 
 
 def load_serving(art_dir: str) -> ServingModel:

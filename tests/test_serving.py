@@ -151,3 +151,69 @@ def test_default_native_orientation(tmp_path):
     exported = export_inference(model, variables, str(tmp_path / "art"),
                                 platforms=("cpu",))
     assert tuple(exported.out_avals[1].shape[1:]) == (640, 400, 1)
+
+
+# --------------------------------------------------------------------- #
+# RefineNet / SegNet serving artifacts (serving.export_refiner)
+# --------------------------------------------------------------------- #
+def _tiny_cfg():
+    from seg2eye_tpu.refinenet.config import RefineNetConfig
+    return RefineNetConfig(compute_dtype="float32", resnet_depth=14,
+                           input_width=40, input_height=64)
+
+
+def test_refinenet_export_roundtrip(tmp_path):
+    """RefineNet artifact == live forward (eval mode), incl. the exact
+    submission uint8 conversion of refinenet/evaluate_refinenet.py
+    (reference :104-112); batch-polymorphic."""
+    from seg2eye_tpu.refinenet.model import RefineNetModel
+    from seg2eye_tpu.serving import export_refiner
+
+    cfg = _tiny_cfg()
+    model = RefineNetModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    out = str(tmp_path / "art")
+    export_refiner(model, jax.device_get(variables), out, platforms=("cpu",))
+    served = load_serving(out)
+    assert served.meta["model_type"] == "refinenet"
+    assert served.meta["baked_config"]["resnet_depth"] == 14
+
+    rng = np.random.default_rng(0)
+    for bs in (1, 3):
+        x = rng.integers(0, 256, (bs, 64, 40, 3)).astype(np.uint8)
+        pred_s, pred_u8_s = served(x)
+        live, _ = model.forward(variables, {"input": x}, train=False)
+        live_pred = np.asarray(live["prediction"], np.float32)
+        np.testing.assert_allclose(pred_s, live_pred, atol=1e-5)
+        live_u8 = np.clip((live_pred + 1.0) * 255.0 / 2.0,
+                          0, 255).astype(np.uint8)[..., 0]
+        assert pred_u8_s.dtype == np.uint8
+        assert pred_u8_s.shape == (bs, 64, 40)
+        # polymorphic-program drift can flip a truncated integer by 1
+        assert np.abs(pred_u8_s.astype(np.int32)
+                      - live_u8.astype(np.int32)).max() <= 1
+
+
+def test_segnet_export_roundtrip(tmp_path):
+    """SegNet artifact emits the identical argmax class map as the live
+    model (uint8, one byte/pixel off the device)."""
+    from seg2eye_tpu.refinenet.model import SegNetModel
+    from seg2eye_tpu.serving import export_refiner
+
+    cfg = _tiny_cfg()
+    model = SegNetModel(cfg)
+    variables = model.init(jax.random.PRNGKey(1))
+    out = str(tmp_path / "art")
+    export_refiner(model, jax.device_get(variables), out, platforms=("cpu",))
+    served = load_serving(out)
+    assert served.meta["model_type"] == "segnet"
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, (2, 64, 40, 1)).astype(np.uint8)
+    pred_s = served(x)
+    live, _ = model.forward(variables, {"input": x}, train=False)
+    live_pred = np.asarray(live["prediction"]).astype(np.uint8)
+    assert pred_s.dtype == np.uint8 and pred_s.shape == (2, 64, 40)
+    # argmax over float logits: polymorphic-program drift can only flip a
+    # class at an exact logit tie, which random weights make measure-zero
+    np.testing.assert_array_equal(pred_s, live_pred)
