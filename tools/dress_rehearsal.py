@@ -13,6 +13,9 @@ them (reference journey: README.md "Training/Testing" + refinenet/README.md
   7. tools/build_style_ranking.py  NN style ranking H5
   8. refinenet/train_refinenet.py
   9. refinenet/evaluate_refinenet.py  submission npys + manifest
+ 10. tools/export_serving.py --verify            Seg2Eye AOT artifact
+ 11. tools/export_refinenet_serving.py --verify  RefineNet AOT artifact
+ 12. tools/export_refinenet_serving.py --verify  SegNet AOT artifact
 
 Asserts the final manifests and writes evidence/dress_rehearsal.json.
 Tiny geometry + CPU so the whole chain runs in minutes on this host:
@@ -171,6 +174,27 @@ def main() -> int:
     arr = np.load(files[0])
     assert arr.dtype == np.uint8 and arr.shape == (64, 40), (arr.dtype,
                                                              arr.shape)
+
+    # 10-12. AOT serving artifacts from the just-trained checkpoints,
+    # each --verify round-tripped against its live model
+    run("export_serving", [sys.executable, "tools/export_serving.py",
+                           "--name", "rehearsal",
+                           "--checkpoints_dir", ckpt,
+                           "--out_dir", os.path.join(wd, "art_seg2eye"),
+                           "--platforms", "cpu", "--native_hw", "64,40",
+                           "--verify"])
+    run("export_refinenet_serving", [
+        sys.executable, "tools/export_refinenet_serving.py",
+        "--model", "refinenet", "--resume_from", ref_out,
+        "--out_dir", os.path.join(wd, "art_refinenet"),
+        "--platforms", "cpu", "--verify", "--dataroot", h5]
+        + TINY_REFINENET + join)
+    run("export_segnet_serving", [
+        sys.executable, "tools/export_refinenet_serving.py",
+        "--model", "segnet", "--resume_from", seg_out,
+        "--out_dir", os.path.join(wd, "art_segnet"),
+        "--platforms", "cpu", "--verify", "--dataroot", h5]
+        + TINY_REFINENET)
 
     result = {"metric": "cli_dress_rehearsal", "ok": True,
               "stages": stages,
