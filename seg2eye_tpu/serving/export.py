@@ -139,8 +139,9 @@ def export_refiner(model, variables: Dict, out_dir: str,
     * SegNetModel: uint8 grayscale image (b,H,W,1) -> uint8 class-id map
       (b,H,W) (argmax prediction, reference evaluate_segnet.py:107-151).
 
-    Inference uses batch-norm running averages (train=False — matching the
-    reference trainer's model.eval() test path); batch dim is symbolic.
+    Inference uses batch-norm running averages (train=False — the exact
+    reference semantics: model.eval() at evaluate_refinenet.py:75 and
+    evaluate_segnet.py:99); batch dim is symbolic.
     """
     from jax import export as jexport
 
