@@ -120,10 +120,14 @@ def convert_encoder(sd: Dict[str, np.ndarray], template,
         _set(sp, (f"layer{i}", "v"),
              _perm_v(sd[f"layer{i}.0.weight_v"],
                      sd[f"layer{i}.0.weight_orig"]))
-    # fc: torch flattens (C,4,4); we flatten (4,4,C)
+    # fc: torch flattens (C,g,g); we flatten (g,g,C).  g is 4 for every
+    # real reference checkpoint (6-layer crop>=256 path, encoder.py:36-47);
+    # inferred so round-trips of our generalized small-crop encoders work.
     c = sd[f"layer{n_layers - 1}.0.weight_orig"].shape[0]
     for fc in ("fc_mu", "fc_var"):
-        w = sd[f"{fc}.weight"].reshape(w_dim, c, 4, 4)
+        g = int(round((sd[f"{fc}.weight"].shape[1] // c) ** 0.5))
+        assert g * g * c == sd[f"{fc}.weight"].shape[1]
+        w = sd[f"{fc}.weight"].reshape(w_dim, c, g, g)
         w = np.transpose(w, (0, 2, 3, 1)).reshape(w_dim, -1)
         _set(p, (fc, "kernel"), _lin(w))
         _set(p, (fc, "bias"), sd[f"{fc}.bias"])

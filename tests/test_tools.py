@@ -72,3 +72,50 @@ def test_peak_flops_device_keyed():
     assert peak_flops(D("TPU v6 lite")) == 918e12
     assert peak_flops(D("cpu")) == 0.0
     assert peak_flops(D("TPU v7x")) == 0.0
+
+
+def test_export_torch_checkpoint_cli(tmp_path, monkeypatch):
+    """CLI writes reference-named .pth files torch can load, from our
+    msgpack .ckpt files, inferring num_D/n_layers_D from the tree."""
+    import sys
+
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from seg2eye_tpu.models.discriminator import MultiscaleDiscriminator
+    from seg2eye_tpu.models.encoder import ConvEncoder
+    from seg2eye_tpu.models.generator import SpadeStyleGenerator
+
+    def tpl(module, *args):
+        shapes = jax.eval_shape(module.init, jax.random.PRNGKey(0), *args)
+        return jax.tree_util.tree_map(
+            lambda s: np.full(s.shape, 0.25, s.dtype), shapes)
+
+    expr = tmp_path / "ck" / "exp"
+    expr.mkdir(parents=True)
+    trees = {
+        "G": tpl(SpadeStyleGenerator(ngf=4, crop_size=64, aspect_ratio=1.0,
+                                     w_dim=8),
+                 jnp.zeros((1, 64, 64, 4)), jnp.zeros((1, 8))),
+        "E": tpl(ConvEncoder(ngf=4, w_dim=8, crop_size=256),
+                 jnp.zeros((1, 32, 32, 1))),
+        "D": tpl(MultiscaleDiscriminator(ndf=4, num_d=2, n_layers=4),
+                 jnp.zeros((1, 32, 32, 5))),
+    }
+    for net, v in trees.items():
+        (expr / f"latest_net_{net}.ckpt").write_bytes(
+            flax.serialization.to_bytes(v))
+
+    out = tmp_path / "pth"
+    monkeypatch.setattr(sys, "argv", [
+        "export_torch_checkpoint.py", "--checkpoints_dir",
+        str(tmp_path / "ck"), "--name", "exp", "--out_dir", str(out)])
+    _load_tool("export_torch_checkpoint").main()
+
+    for net, probe in (("G", "fc.weight"), ("E", "layer0.0.weight_orig"),
+                       ("D", "discriminator_1.model4.0.weight")):
+        sd = torch.load(out / f"latest_net_{net}.pth", map_location="cpu")
+        assert probe in sd, (net, sorted(sd)[:5])
+        assert all(isinstance(v, torch.Tensor) for v in sd.values())

@@ -47,3 +47,116 @@ def test_encoder_conversion_shapes_and_fc_permutation():
     wf = np.asarray(v["params"]["fc_mu"]["kernel"])  # (4*4*32, 8)
     wf = wf.reshape(4, 4, 32, 8)
     np.testing.assert_allclose(wf[1, 2, 5, :], wt[:, 5, 1, 2], rtol=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# Reverse export (utils/torch_export.py): torch_convert must restore a
+# torch_export dump bitwise.  The convert-back template is all-zeros, so
+# any leaf either converter skipped shows up as a zero-vs-random mismatch
+# (random fills are unique with probability ~1).
+
+from seg2eye_tpu.utils import torch_export as te  # noqa: E402
+
+
+def _template(module, *args):
+    var_shapes = jax.eval_shape(module.init, jax.random.PRNGKey(0), *args)
+    return jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), var_shapes)
+
+
+def _unique_fill(template, seed=0):
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda z: rng.normal(size=z.shape).astype(z.dtype) + 0.5, template)
+
+
+def _assert_trees_equal(a, b, context=""):
+    fa = jax.tree_util.tree_flatten_with_path(a)[0]
+    fb = jax.tree_util.tree_flatten_with_path(b)[0]
+    assert len(fa) == len(fb)
+    for (pa, va), (_, vb) in zip(fa, fb):
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(vb),
+            err_msg=f"{context}{jax.tree_util.keystr(pa)}")
+
+
+def test_generator_export_roundtrip():
+    from seg2eye_tpu.models.generator import SpadeStyleGenerator
+    g = SpadeStyleGenerator(ngf=4, crop_size=128, aspect_ratio=1.0, w_dim=8,
+                            num_upsampling_layers="most")  # covers up_4 too
+    tpl = _template(g, jnp.zeros((1, 128, 128, 4)), jnp.zeros((1, 8)))
+    v = _unique_fill(tpl)
+    back = tc.convert_generator(te.export_generator(v), tpl)
+    _assert_trees_equal(v, back, "G ")
+
+
+def test_encoder_export_roundtrip():
+    enc = ConvEncoder(ngf=4, w_dim=8, crop_size=256)
+    tpl = _template(enc, jnp.zeros((1, 32, 32, 1)))
+    v = _unique_fill(tpl)
+    back = tc.convert_encoder(te.export_encoder(v), tpl, w_dim=8)
+    _assert_trees_equal(v, back, "E ")
+
+
+def test_discriminator_export_roundtrip():
+    from seg2eye_tpu.models.discriminator import MultiscaleDiscriminator
+    d = MultiscaleDiscriminator(ndf=4)
+    tpl = _template(d, jnp.zeros((1, 32, 32, 5)))
+    v = _unique_fill(tpl)
+    back = tc.convert_discriminator(te.export_discriminator(v), tpl)
+    _assert_trees_equal(v, back, "D ")
+
+
+def test_deeplab_export_roundtrip_all_backbones():
+    from seg2eye_tpu.models.deeplab import DeepLab
+    for backbone, kw in (("resnet", {"resnet_layers": (1, 1, 1, 1)}),
+                         ("xception", {}), ("drn", {}), ("mobilenet", {})):
+        net = DeepLab(backbone=backbone, num_classes=4, **kw)
+        tpl = _template(net, jnp.zeros((1, 64, 64, 3)))
+        v = _unique_fill(tpl)
+        back = tc.convert_deeplab(te.export_deeplab(v, backbone=backbone),
+                                  tpl, backbone=backbone)
+        _assert_trees_equal(v, back, f"{backbone} ")
+
+
+def test_vgg19_export_roundtrip():
+    from seg2eye_tpu.models.vgg import VGG19Features
+    net = VGG19Features()
+    tpl = _template(net, jnp.zeros((1, 32, 32, 3), jnp.float32))
+    v = _unique_fill(tpl)
+    back = tc.convert_vgg19(te.export_vgg19(v), tpl)
+    _assert_trees_equal(v, back, "vgg ")
+
+
+def test_export_emits_bn_bookkeeping_keys():
+    """Strict torch loads require num_batches_tracked for every tracked BN."""
+    from seg2eye_tpu.models.deeplab import DeepLab
+    net = DeepLab(backbone="resnet", num_classes=4,
+                  resnet_layers=(1, 1, 1, 1))
+    tpl = _template(net, jnp.zeros((1, 64, 64, 3)))
+    sd = te.export_deeplab(_unique_fill(tpl), backbone="resnet")
+    tracked = [k for k in sd if k.endswith("num_batches_tracked")]
+    means = [k for k in sd if k.endswith("running_mean")]
+    assert len(tracked) == len(means) and tracked
+    assert all(sd[k].dtype == np.int64 for k in tracked)
+
+
+def test_mobilenet_export_emits_alias_families():
+    """The reference MobileNetV2 registers the same modules as features.*
+    AND low/high_level_features.* (mobilenet.py:107-114) — strict torch
+    loads need all three key families, with identical values."""
+    from seg2eye_tpu.models.deeplab import MobileNetBackbone
+    net = MobileNetBackbone()
+    tpl = _template(net, jnp.zeros((1, 64, 64, 3)))
+    sd = te.export_mobilenet_backbone(_unique_fill(tpl))
+    feats = [k for k in sd if k.startswith("features.")]
+    assert feats
+    for k in feats:
+        idx = int(k.split(".")[1])
+        fam = "low_level_features" if idx < 4 else "high_level_features"
+        alias = f"{fam}." + k.split(".", 1)[1]
+        assert alias in sd, alias
+        np.testing.assert_array_equal(sd[alias], sd[k])
+    # and nothing else leaks in
+    known = {"features", "low_level_features", "high_level_features"}
+    assert {k.split(".")[0] for k in sd} == known

@@ -82,6 +82,44 @@ def main(ref="/root/reference"):
                                   num_d=cfg["num_D"],
                                   n_layers=cfg["n_layers_D"])
 
+    # -------- reverse export: torch -> flax -> torch must be lossless ----
+    # Every exported dict must strict-load into the unmodified reference
+    # module and match the original state_dict bitwise (num_batches_tracked
+    # is bookkeeping; fresh models carry 0, which the exporter emits).
+    from seg2eye_tpu.utils import torch_export as tex
+
+    def check_reverse(name, sd_orig, sd_back, module):
+        good = True
+        missing = set(sd_orig) - set(sd_back)
+        extra = set(sd_back) - set(sd_orig)
+        if missing or extra:
+            good = False
+            print(f"  {name}: missing={sorted(missing)[:4]} "
+                  f"extra={sorted(extra)[:4]}")
+        for k in sd_orig:
+            if k in sd_back and not np.array_equal(
+                    np.asarray(sd_orig[k]), np.asarray(sd_back[k])):
+                good = False
+                print(f"  {name}: value mismatch at {k}")
+        try:
+            module.load_state_dict(
+                {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in sd_back.items()}, strict=True)
+        except Exception as e:                       # noqa: BLE001
+            good = False
+            print(f"  {name}: strict load_state_dict failed: {e}")
+        print(f"{'OK ' if good else 'FAIL'} {name} reverse export "
+              f"({len(sd_back)} keys bitwise + strict torch load)")
+        return good
+
+    ok = True
+    ok &= check_reverse("generator", sd(tg), tex.export_generator(vg), tg)
+    ok &= check_reverse("encoder", sd(te), tex.export_encoder(ve), te)
+    ok &= check_reverse("discriminator", sd(td),
+                        tex.export_discriminator(
+                            vd, num_d=cfg["num_D"],
+                            n_layers=cfg["n_layers_D"]), td)
+
     rng = np.random.default_rng(0)
     B, H, W = 2, 320, 256
     seg_np = jax.nn.one_hot(rng.integers(0, 4, (B, H, W)), 4,
@@ -96,8 +134,6 @@ def main(ref="/root/reference"):
         status = "OK " if diff / scale < tol else "FAIL"
         print(f"{status} {name}: max|diff| {diff:.3e} (rel {diff / scale:.3e})")
         return diff / scale < tol
-
-    ok = True
 
     # generator (eval: running BN stats, stored spectral u/v)
     with torch.no_grad():
@@ -185,6 +221,10 @@ def main(ref="/root/reference"):
     out_j = fdl.apply(vdl, jnp.asarray(xin), train=False, deterministic=True)
     ok &= report("deeplab(resnet) fwd", out_j,
                  np.transpose(out_t, (0, 2, 3, 1)), 5e-4)
+    ok &= check_reverse("deeplab(resnet)",
+                        {k: v.detach().numpy()
+                         for k, v in tdl.state_dict().items()},
+                        tex.export_deeplab(vdl, backbone="resnet"), tdl)
 
     # the other three backbones (backbone/__init__.py:3-13): random torch
     # weights -> convert -> forward must match.  Pretrained-zoo loading is
@@ -218,6 +258,10 @@ def main(ref="/root/reference"):
                           deterministic=True)
         ok &= report(f"deeplab({bb}) fwd", out_j,
                      np.transpose(out_t, (0, 2, 3, 1)), 5e-4)
+        ok &= check_reverse(f"deeplab({bb})",
+                            {k: v.detach().numpy()
+                             for k, v in tdl.state_dict().items()},
+                            tex.export_deeplab(vdl, backbone=bb), tdl)
 
     print("\nPARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
