@@ -119,3 +119,44 @@ def test_export_torch_checkpoint_cli(tmp_path, monkeypatch):
         sd = torch.load(out / f"latest_net_{net}.pth", map_location="cpu")
         assert probe in sd, (net, sorted(sd)[:5])
         assert all(isinstance(v, torch.Tensor) for v in sd.values())
+
+
+def test_export_torch_checkpoint_cli_refinenet_dir(tmp_path, monkeypatch):
+    """The --refinenet_dir path: newest %07d.ckpt (the CheckpointManager's
+    {"variables", "opt", ...} state) exports to a %07d.pt raw state_dict —
+    the format the reference CheckpointManager.__save writes / __load
+    strict-loads (refinenet/core/checkpoint_manager.py:20-36)."""
+    import sys
+
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from seg2eye_tpu.models.deeplab import DeepLab
+
+    net = DeepLab(backbone="resnet", num_classes=1,
+                  resnet_layers=(1, 1, 1, 1))
+    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))
+    variables = jax.tree_util.tree_map(
+        lambda s: np.full(s.shape, 0.25, s.dtype), shapes)
+
+    run = tmp_path / "run" / "checkpoints"
+    run.mkdir(parents=True)
+    # older ckpt must be ignored in favor of the newest
+    (run / "0000002.ckpt").write_bytes(b"not even msgpack")
+    (run / "0000007.ckpt").write_bytes(flax.serialization.to_bytes(
+        {"variables": variables, "opt": {"count": np.int32(7)}}))
+
+    out = tmp_path / "pt"
+    monkeypatch.setattr(sys, "argv", [
+        "export_torch_checkpoint.py", "--refinenet_dir", str(run),
+        "--backbone", "resnet", "--out_dir", str(out)])
+    _load_tool("export_torch_checkpoint").main()
+
+    sd = torch.load(out / "0000007.pt", map_location="cpu")
+    assert "backbone.conv1.weight" in sd
+    assert "decoder.last_conv.8.weight" in sd, sorted(sd)[-6:]
+    assert sd["decoder.last_conv.8.weight"].shape[0] == 1  # residual head
+    assert any(k.endswith("num_batches_tracked") for k in sd)

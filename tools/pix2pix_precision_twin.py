@@ -17,12 +17,17 @@ backbones"), and for a numerics twin the question is drift of the same
 program under bf16, not perceptual quality — random features exercise the
 identical cast/fusion path.
 
-Toy geometry on this 1-core CPU host (recorded in the JSON): same code
-path as production, not the same scale — the same caveat as
-tools/refinenet_precision_twin.py.
+Geometries (recorded in the JSON):
+  --geometry toy          64x40 fixture, ngf=4 — CPU-friendly smoke scale
+  --geometry production   OpenEDS-native 640x400 fixture, full default
+                          config (ngf=ndf=64, crop 256 / aspect 0.8 ->
+                          320x256, w_dim=16, k=4 style refs, bs=16) — run
+                          with --platform tpu to retire the toy-scale
+                          caveat on the real chip.
 
 Usage:
   python tools/pix2pix_precision_twin.py [--steps 150] [--eval_every 50] \
+      [--geometry toy|production] [--platform cpu|tpu] \
       [--out evidence/pix2pix_precision_twin.json]
 """
 from __future__ import annotations
@@ -35,14 +40,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(REPO, "tests", ".jax_cache"))
+# platform must be pinned BEFORE jax initializes (the axon TPU plugin
+# ignores JAX_PLATFORMS — utils/platform.py); pre-scan argv for it
+_TPU = "tpu" in [sys.argv[i + 1] for i, a in enumerate(sys.argv)
+                 if a == "--platform" and i + 1 < len(sys.argv)]
+if _TPU:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, ".jax_cache"))
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, "tests", ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
@@ -55,8 +69,17 @@ from seg2eye_tpu.train import state as state_lib         # noqa: E402
 from seg2eye_tpu.train.loop import device_batch          # noqa: E402
 from seg2eye_tpu.train.steps import StepFunctions        # noqa: E402
 
-GEOM = dict(h=64, w=40, ngf=4, ndf=4, crop_size=32, w_dim=8, input_ns=2,
-            batch_size=8)
+GEOMS = {
+    # CPU-friendly smoke scale
+    "toy": dict(h=64, w=40, ngf=4, ndf=4, crop_size=32, aspect_ratio=1.0,
+                w_dim=8, input_ns=2, batch_size=8),
+    # the full default config on the OpenEDS-native fixture — the program
+    # bench.py/convergence_study.py measure (320x256 crop, 92M-param G)
+    "production": dict(h=640, w=400, ngf=64, ndf=64, crop_size=256,
+                       aspect_ratio=0.8, w_dim=16, input_ns=4,
+                       batch_size=16),
+}
+GEOM = GEOMS["toy"]
 
 
 def run_arm(data: str, dtype: str, n_steps: int, eval_every: int):
@@ -64,7 +87,8 @@ def run_arm(data: str, dtype: str, n_steps: int, eval_every: int):
                   name=f"pix2pix_twin_{dtype}",
                   checkpoints_dir="runs/pix2pix_precision_twin/ckpt",
                   ngf=GEOM["ngf"], ndf=GEOM["ndf"],
-                  crop_size=GEOM["crop_size"], aspect_ratio=1.0,
+                  crop_size=GEOM["crop_size"],
+                  aspect_ratio=GEOM["aspect_ratio"],
                   w_dim=GEOM["w_dim"], input_ns=GEOM["input_ns"],
                   no_vgg_loss=False,          # the path under test
                   compute_dtype=dtype).finalize()
@@ -103,18 +127,29 @@ def run_arm(data: str, dtype: str, n_steps: int, eval_every: int):
 
 
 def main() -> int:
+    global GEOM
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--eval_every", type=int, default=50)
+    ap.add_argument("--geometry", choices=sorted(GEOMS), default="toy")
+    ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu",
+                    help="consumed at import time (pre-argparse scan)")
     ap.add_argument("--workdir", default="runs/pix2pix_precision_twin")
     ap.add_argument("--out", default="evidence/pix2pix_precision_twin.json")
     args = ap.parse_args()
+    GEOM = GEOMS[args.geometry]
 
     os.makedirs(args.workdir, exist_ok=True)
-    data = os.path.join(args.workdir, "data.h5")
+    data = os.path.join(args.workdir, f"data_{args.geometry}.h5")
     if not os.path.exists(data):
-        schema.write_synthetic_h5(data, h=GEOM["h"], w=GEOM["w"], n_ss=8,
-                                  learnable=True)
+        if args.geometry == "production":
+            # match convergence_study.ensure_fixture's native-res fixture
+            schema.write_synthetic_h5(
+                data, users=("U001", "U002", "U003", "U004"),
+                n_ss=24, n_gen=8, n_seq=4, learnable=True)
+        else:
+            schema.write_synthetic_h5(data, h=GEOM["h"], w=GEOM["w"],
+                                      n_ss=8, learnable=True)
 
     c32 = run_arm(data, "float32", args.steps, args.eval_every)
     c16 = run_arm(data, "bfloat16", args.steps, args.eval_every)
@@ -127,12 +162,17 @@ def main() -> int:
     # does not claim bitwise trajectories
     ok = bool(bf16 < c16[0]["val_rel_error"] and f32 < c32[0]["val_rel_error"]
               and rel_gap < 0.20)
+    caveat = ("toy geometry; production is 320x256 ngf=64 — same code "
+              "path, not same scale" if args.geometry == "toy" else
+              "production geometry (full default config)")
     result = {"metric": "pix2pix_vgg_precision_convergence_twin",
               "steps": args.steps,
-              "geometry": {**GEOM, "data": "synthetic-learnable",
+              "platform": jax.devices()[0].platform,
+              "device_kind": jax.devices()[0].device_kind,
+              "geometry": {**GEOM, "name": args.geometry,
+                           "data": "synthetic-learnable",
                            "vgg_weights": "seed-matched random (no zoo)"},
-              "scale_caveat": "toy geometry; production is 320x256 "
-                              "ngf=64 — same code path, not same scale",
+              "scale_caveat": caveat,
               "curve_f32": c32, "curve_bf16": c16,
               "final_f32": f32, "final_bf16": bf16,
               "final_rel_gap": rel_gap, "pass": ok}
