@@ -16,6 +16,9 @@ them (reference journey: README.md "Training/Testing" + refinenet/README.md
  10. tools/export_serving.py --verify            Seg2Eye AOT artifact
  11. tools/export_refinenet_serving.py --verify  RefineNet AOT artifact
  12. tools/export_refinenet_serving.py --verify  SegNet AOT artifact
+ 13. tools/export_torch_checkpoint.py  both trained checkpoints back to
+     reference-format .pth/.pt (torch-loadable; strict-load vs the real
+     reference modules is tools/check_reference_parity.py's job)
 
 Asserts the final manifests and writes evidence/dress_rehearsal.json.
 Tiny geometry + CPU so the whole chain runs in minutes on this host:
@@ -195,6 +198,27 @@ def main() -> int:
         "--out_dir", os.path.join(wd, "art_segnet"),
         "--platforms", "cpu", "--verify", "--dataroot", h5]
         + TINY_REFINENET)
+
+    # 13. reverse export: both trained checkpoints back to reference files
+    pth = os.path.join(wd, "pth")
+    run("export_torch_checkpoint seg2eye", [
+        sys.executable, "tools/export_torch_checkpoint.py",
+        "--checkpoints_dir", ckpt, "--name", "rehearsal",
+        "--which_epoch", "latest", "--out_dir", pth])
+    run("export_torch_checkpoint segnet", [
+        sys.executable, "tools/export_torch_checkpoint.py",
+        "--refinenet_dir", os.path.join(seg_out, "checkpoints"),
+        "--out_dir", pth])
+    import torch
+    for f, probe in (("latest_net_G.pth", "fc.weight"),
+                     ("latest_net_E.pth", "layer0.0.weight_orig"),
+                     ("latest_net_D.pth", "discriminator_0.model0.0.weight")):
+        sd = torch.load(os.path.join(pth, f), map_location="cpu")
+        assert probe in sd, (f, sorted(sd)[:4])
+    pts = [f for f in os.listdir(pth) if f.endswith(".pt")]
+    assert pts, "segnet export produced no .pt"
+    sd = torch.load(os.path.join(pth, pts[0]), map_location="cpu")
+    assert "backbone.conv1.weight" in sd and "decoder.last_conv.8.weight" in sd
 
     result = {"metric": "cli_dress_rehearsal", "ok": True,
               "stages": stages,

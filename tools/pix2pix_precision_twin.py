@@ -132,12 +132,18 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--eval_every", type=int, default=50)
     ap.add_argument("--geometry", choices=sorted(GEOMS), default="toy")
+    ap.add_argument("--bs", type=int, default=0,
+                    help="override the geometry's batch size (e.g. 8 for "
+                         "the production f32 arm, which OOMs one v5e chip "
+                         "at bs=16 — f32 activations are 2x bf16's)")
     ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu",
                     help="consumed at import time (pre-argparse scan)")
     ap.add_argument("--workdir", default="runs/pix2pix_precision_twin")
     ap.add_argument("--out", default="evidence/pix2pix_precision_twin.json")
     args = ap.parse_args()
-    GEOM = GEOMS[args.geometry]
+    GEOM = dict(GEOMS[args.geometry])
+    if args.bs:
+        GEOM["batch_size"] = args.bs
 
     os.makedirs(args.workdir, exist_ok=True)
     data = os.path.join(args.workdir, f"data_{args.geometry}.h5")
@@ -154,12 +160,15 @@ def main() -> int:
     c32 = run_arm(data, "float32", args.steps, args.eval_every)
     c16 = run_arm(data, "bfloat16", args.steps, args.eval_every)
 
-    f32, bf16 = c32[-1]["val_rel_error"], c16[-1]["val_rel_error"]
+    # pass = both arms actually learn (tail < initial) and the bf16 arm's
+    # TAIL-MEAN (last <=3 eval points — single GAN eval points are noisy,
+    # cf. the convergence-study curves in BASELINE.md) lands within 20%
+    # relative of the f32 arm's.  Bounds divergence, does not claim
+    # bitwise trajectories.
+    k = min(3, len(c32) - 1) or 1
+    f32 = float(np.mean([r["val_rel_error"] for r in c32[-k:]]))
+    bf16 = float(np.mean([r["val_rel_error"] for r in c16[-k:]]))
     rel_gap = abs(f32 - bf16) / max(f32, 1e-9)
-    # pass = both arms actually learn (final < initial) and the bf16 arm
-    # lands within 20% relative of the f32 arm's final validation error —
-    # GAN training at 150 toy steps is noisy; this bounds divergence, it
-    # does not claim bitwise trajectories
     ok = bool(bf16 < c16[0]["val_rel_error"] and f32 < c32[0]["val_rel_error"]
               and rel_gap < 0.20)
     caveat = ("toy geometry; production is 320x256 ngf=64 — same code "
@@ -174,8 +183,9 @@ def main() -> int:
                            "vgg_weights": "seed-matched random (no zoo)"},
               "scale_caveat": caveat,
               "curve_f32": c32, "curve_bf16": c16,
-              "final_f32": f32, "final_bf16": bf16,
-              "final_rel_gap": rel_gap, "pass": ok}
+              "tail_mean_f32": f32, "tail_mean_bf16": bf16,
+              "tail_points": k,
+              "tail_rel_gap": rel_gap, "pass": ok}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
