@@ -16,7 +16,11 @@ BN-statistic updates over hundreds of SGD steps.
 
 Usage:
   python tools/refinenet_precision_twin.py [--steps 200] [--test_every 50] \
+      [--geometry toy|production] [--platform cpu|tpu] \
       [--out evidence/segnet_precision_twin.json]
+
+``--geometry production --platform tpu`` runs the config defaults
+(640x400, resnet-101) on the real chip to retire the toy-scale caveat.
 """
 from __future__ import annotations
 
@@ -28,15 +32,25 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(REPO, "tests", ".jax_cache"))
+# platform must be pinned BEFORE jax initializes (the axon TPU plugin
+# ignores JAX_PLATFORMS — utils/platform.py); pre-scan argv for it
+_TPU = "tpu" in [sys.argv[i + 1] for i, a in enumerate(sys.argv)
+                 if a == "--platform" and i + 1 < len(sys.argv)]
+if _TPU:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, ".jax_cache"))
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, "tests", ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> int:
@@ -44,9 +58,17 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--test_every", type=int, default=50)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--geometry", choices=("toy", "production"),
+                    default="toy")
+    ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu",
+                    help="consumed at import time (pre-argparse scan)")
     ap.add_argument("--workdir", default="runs/refinenet_precision_twin")
     ap.add_argument("--out", default="evidence/segnet_precision_twin.json")
     args = ap.parse_args()
+    # toy overrides shrink the config; production keeps the defaults
+    # (OpenEDS-native 640x400, resnet-101 — refinenet/config.py)
+    geom_overrides = (dict(resnet_depth=14, input_width=40, input_height=64)
+                      if args.geometry == "toy" else {})
 
     from seg2eye_tpu.data import schema
     from seg2eye_tpu.data.loader import DataLoader, subsample
@@ -70,9 +92,9 @@ def main() -> int:
             test_every_n_steps=args.test_every,
             log_every_n_steps=args.test_every,
             tensorboard_images_every_n_steps=0,
-            compute_dtype=dtype, resnet_depth=14,
-            input_width=40, input_height=64, prefetch=0,
-            output_dir_base=os.path.join(args.workdir, tag))
+            compute_dtype=dtype, prefetch=0,
+            output_dir_base=os.path.join(args.workdir, tag),
+            **geom_overrides)
         model = SegNetModel(cfg)
         result = main_loop(model, cfg, DataLoader(
             SegNetDataset(cfg, "train"), batch_size=cfg.batch_size,
@@ -102,19 +124,23 @@ def main() -> int:
                           "bf16_ce": r16.get("val/ce_loss")})
     acc_gap = abs(final32["accuracy"] - final16["accuracy"])
     ok = bool(acc_gap < 0.02 and final32["accuracy"] > 0.8)
+    caveat = ("toy geometry; production is 640x400 resnet-101 — same code "
+              "path, not same scale" if args.geometry == "toy" else
+              "production geometry (config defaults, 640x400 resnet-101)")
+    geom = ({"input_width": 40, "input_height": 64, "resnet_depth": 14}
+            if args.geometry == "toy" else
+            {"input_width": 400, "input_height": 640, "resnet_depth": 101})
     result = {"metric": "segnet_precision_convergence_twin",
               "steps": args.steps,
-              # scale caveat (round-2 advisor finding): this twin runs at
-              # TOY geometry on synthetic data — it bounds compounded bf16
-              # drift of the same code path, NOT the production
-              # 640x400/resnet-101 run; record the geometry so evidence
-              # readers see the gap
-              "geometry": {"input_width": 40, "input_height": 64,
-                           "backbone": "resnet", "resnet_depth": 14,
+              "platform": jax.devices()[0].platform,
+              "device_kind": jax.devices()[0].device_kind,
+              # scale recorded so evidence readers see exactly what ran
+              # (round-2 advisor finding)
+              "geometry": {**geom, "backbone": "resnet",
+                           "name": args.geometry,
                            "batch_size": args.batch_size,
                            "data": "synthetic-learnable"},
-              "scale_caveat": "toy geometry; production is 640x400 "
-                              "resnet-101 — same code path, not same scale",
+              "scale_caveat": caveat,
               "curve": curve,
               "final_f32": final32, "final_bf16": final16,
               "final_accuracy_gap": acc_gap, "pass": ok}
