@@ -121,6 +121,18 @@ def test_export_torch_checkpoint_cli(tmp_path, monkeypatch):
         assert all(isinstance(v, torch.Tensor) for v in sd.values())
 
 
+def test_probe_xla_flags_child_template_is_valid_python():
+    """The flag probe spawns its child from a .format()ed template — a
+    stray brace would only fail after a 10-minute TPU compile wait, so pin
+    it here."""
+    import ast
+
+    mod = _load_tool("probe_xla_flags")
+    child = mod._CHILD.format(repo="/some/repo")
+    ast.parse(child)
+    assert set(mod.VARIANTS) >= {"default"}
+
+
 def test_export_torch_checkpoint_cli_refinenet_dir(tmp_path, monkeypatch):
     """The --refinenet_dir path: newest %07d.ckpt (the CheckpointManager's
     {"variables", "opt", ...} state) exports to a %07d.pt raw state_dict —
