@@ -67,6 +67,8 @@ def equalize(image_u8: np.ndarray) -> np.ndarray:
     image_u8 = np.asarray(image_u8, np.uint8)
     if image_u8.ndim == 2:
         return cv2.equalizeHist(image_u8)
+    if image_u8.shape[-1] == 1:  # channel-trailing grayscale
+        return cv2.equalizeHist(image_u8[..., 0])[..., None]
     ycrcb = cv2.cvtColor(image_u8, cv2.COLOR_RGB2YCrCb)
     ycrcb[:, :, 0] = cv2.equalizeHist(ycrcb[:, :, 0])
     return cv2.cvtColor(ycrcb, cv2.COLOR_YCrCb2RGB)

@@ -53,10 +53,12 @@ def label_colormap(n: int) -> np.ndarray:
 
 def colorize_labels(labels: np.ndarray, n: int) -> np.ndarray:
     """Class-id array (..., H, W) -> uint8 RGB (..., H, W, 3) via one LUT
-    gather (util.py Colorize semantics: ids >= N render black — the
-    reference's per-class masked writes leave them at zero)."""
+    gather (util.py Colorize semantics: ids outside 0..N-1 render black —
+    the reference's per-class masked writes leave them at zero; negative
+    ids are routed to a guaranteed-black LUT row rather than python-wrapping
+    into the palette)."""
     labels = np.asarray(labels, np.int64)
     hi = int(labels.max()) + 1 if labels.size else n
-    lut = np.zeros((max(n, hi), 3), np.uint8)
+    lut = np.zeros((max(n, hi) + 1, 3), np.uint8)   # last row stays black
     lut[:n] = label_colormap(n)
-    return lut[labels]
+    return lut[np.where(labels >= 0, labels, lut.shape[0] - 1)]

@@ -9,6 +9,20 @@ from __future__ import annotations
 import os
 
 
+def wants_platform(argv, name: str) -> bool:
+    """True iff ``--platform <name>`` or ``--platform=<name>`` is in argv.
+
+    Used by tools that must pin the backend BEFORE importing jax (argparse
+    hasn't run yet at that point, and it accepts both spellings — the scan
+    must too, or an equals-form TPU run silently lands on CPU).  This
+    module imports no jax, so it is safe to import pre-initialization.
+    """
+    return any(
+        (a == "--platform" and i + 1 < len(argv) and argv[i + 1] == name)
+        or a == f"--platform={name}"
+        for i, a in enumerate(argv))
+
+
 def configure_from_env() -> None:
     import jax
 

@@ -1,0 +1,34 @@
+"""Honest device timing on the remote-TPU platform.
+
+On the axon remote-TPU tunnel, ``block_until_ready`` resolves before
+execution actually finishes, so wall-clock timing must block on a
+``device_get`` of a scalar computed FROM the output (bench.py timing
+methodology).  This is the single shared implementation; the bench tools
+all import it so the sync subtlety lives in one place.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_timeit(fn, args, iters: int = 20) -> float:
+    """Mean seconds per ``fn(*args)`` call with an honest device sync.
+
+    Blocks on a device_get of a jitted scalar reduction of the first
+    output leaf (works for array outputs and tuple/pytree outputs alike).
+    The first call outside the timed loop serves as warmup/compile.
+    """
+    sync = jax.jit(
+        lambda o: jnp.sum(jax.tree_util.tree_leaves(o)[0]
+                          .astype(jnp.float32)))
+    out = fn(*args)
+    float(np.asarray(sync(out)))               # warmup / compile
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    float(np.asarray(sync(out)))               # one sync after the loop
+    return (time.time() - t0) / iters

@@ -2,8 +2,8 @@
 prepare -> train.py -> test.py --produce_npy -> segnet train/eval -> style
 ranking -> refinenet train/eval -> submission manifest.
 
-Chains 9 real subprocesses (~6-10 min on this 1-core host), so it only runs
-when explicitly requested:
+Chains 14 real subprocesses (~6-10 min on this 1-core host), so it only
+runs when explicitly requested:
 
     SEG2EYE_E2E=1 python -m pytest tests/test_dress_rehearsal.py -q
 
@@ -33,7 +33,11 @@ def test_cli_dress_rehearsal(tmp_path):
     assert rec["ok"]
     assert rec["submission_manifest_files"] > 0
     assert rec["seg2eye_manifest_files"] > 0
-    assert len(rec["stages"]) == 10  # fixture + 9 CLI stages
+    # stage list must match the committed evidence artifact (self-syncing:
+    # adding a stage to the tool requires re-running it for evidence/)
+    with open(os.path.join(REPO, "evidence", "dress_rehearsal.json")) as f:
+        committed = json.load(f)
+    assert len(rec["stages"]) == len(committed["stages"])
 
 
 def test_rehearsal_evidence_is_current():

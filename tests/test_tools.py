@@ -172,3 +172,60 @@ def test_export_torch_checkpoint_cli_refinenet_dir(tmp_path, monkeypatch):
     assert "decoder.last_conv.8.weight" in sd, sorted(sd)[-6:]
     assert sd["decoder.last_conv.8.weight"].shape[0] == 1  # residual head
     assert any(k.endswith("num_batches_tracked") for k in sd)
+
+
+def test_wants_platform_both_spellings():
+    """The pre-jax argv scan must accept both forms argparse accepts —
+    an equals-form '--platform=tpu' evidence run silently pinned to CPU
+    is exactly the failure this guards (tools/*_precision_twin.py)."""
+    from seg2eye_tpu.utils.platform import wants_platform
+    assert wants_platform(["x", "--platform", "tpu"], "tpu")
+    assert wants_platform(["x", "--platform=tpu"], "tpu")
+    assert not wants_platform(["x", "--platform", "cpu"], "tpu")
+    assert not wants_platform(["x", "--platform=cpu"], "tpu")
+    assert not wants_platform(["x", "--platform"], "tpu")  # dangling flag
+    assert not wants_platform(["x"], "tpu")
+
+
+def test_device_timeit_shared_helper():
+    """One shared honest-sync timer (seg2eye_tpu/utils/timing.py) backs
+    every bench tool; it must handle array and tuple outputs alike."""
+    import jax
+    import jax.numpy as jnp
+
+    from seg2eye_tpu.utils.timing import device_timeit
+
+    f_arr = jax.jit(lambda x: x * 2.0)
+    f_tup = jax.jit(lambda x: (x + 1.0, x - 1.0))
+    x = jnp.ones((4, 4), jnp.float32)
+    assert device_timeit(f_arr, (x,), iters=2) > 0.0
+    assert device_timeit(f_tup, (x,), iters=2) > 0.0
+    # the bench tools import it under the local name `timeit`
+    for tool in ("bench_inference", "bench_serving_artifact",
+                 "bench_refinenet_serving", "serving_stats_study"):
+        path = os.path.join(ROOT, "tools", tool + ".py")
+        src = open(path).read()
+        assert "device_timeit" in src and "def timeit" not in src, tool
+
+
+def test_measured_step_s_prefers_newest_parsed_bench(tmp_path):
+    """The dryrun DP projection's denominator tracks the newest parsed
+    BENCH_r*.json instead of a hardcoded constant going stale."""
+    import json
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(ROOT, "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # empty dir -> fallback default
+    assert mod._measured_step_s(default=0.5, repo=str(tmp_path)) == 0.5
+
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+        {"rc": 0, "parsed": {"step_ms": 200.0}}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"rc": 1, "parsed": None}))                       # crash round: skip
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(
+        {"rc": 0, "parsed": {"step_ms": 150.0}}))         # newest parsed wins
+    (tmp_path / "BENCH_r04.json").write_text("not json")  # unreadable: skip
+    assert mod._measured_step_s(repo=str(tmp_path)) == 0.150

@@ -188,3 +188,24 @@ def test_colorize_labels_lut_gather():
     np.testing.assert_array_equal(out[0, 0], cmap[0])
     np.testing.assert_array_equal(out[1, 0], cmap[3])
     np.testing.assert_array_equal(out[1, 1], [0, 0, 0])      # >= N -> black
+
+
+def test_colorize_labels_negative_ids_render_black():
+    """Reference Colorize writes only ids 0..N-1 (util/util.py:258-271);
+    corrupted/ignore-style negative ids must stay black, not python-wrap
+    into the palette."""
+    from seg2eye_tpu.utils.colormap import colorize_labels, label_colormap
+    out = colorize_labels(np.asarray([[-1, 2]]), 4)
+    np.testing.assert_array_equal(out[0, 0], [0, 0, 0])
+    np.testing.assert_array_equal(out[0, 1], label_colormap(4)[2])
+
+
+def test_equalize_channel_trailing_grayscale():
+    """(H,W,1) single-channel images equalize like their 2-D squeeze."""
+    from seg2eye_tpu.data import preprocessor as P
+    img = np.random.default_rng(0).integers(0, 256, (36, 60),
+                                            dtype=np.uint8)
+    flat = P.equalize(img)
+    chan = P.equalize(img[..., None])
+    assert chan.shape == (36, 60, 1)
+    np.testing.assert_array_equal(chan[..., 0], flat)

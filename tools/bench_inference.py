@@ -10,7 +10,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,15 +31,7 @@ from seg2eye_tpu.ops import image as image_ops  # noqa: E402
 from seg2eye_tpu.options import Options  # noqa: E402
 
 
-def timeit(fn, args, iters=20):
-    out = fn(*args)
-    s = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
-    float(np.asarray(s(out)))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    float(np.asarray(s(out)))
-    return (time.time() - t0) / iters
+from seg2eye_tpu.utils.timing import device_timeit as timeit  # noqa: E402
 
 
 def main() -> None:

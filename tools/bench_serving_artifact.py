@@ -20,7 +20,6 @@ import json
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -42,17 +41,7 @@ from seg2eye_tpu.options import Options  # noqa: E402
 from seg2eye_tpu.serving import export_inference, load_serving  # noqa: E402
 
 
-def timeit(fn, args, iters=20):
-    """Remote-TPU-safe: block on a device_get of a scalar, not
-    block_until_ready (bench.py:24)."""
-    out = fn(*args)
-    s = jax.jit(lambda o: jnp.sum(o[0].astype(jnp.float32)))
-    float(np.asarray(s(out)))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    float(np.asarray(s(out)))
-    return (time.time() - t0) / iters
+from seg2eye_tpu.utils.timing import device_timeit as timeit  # noqa: E402
 
 
 def main() -> None:

@@ -45,8 +45,9 @@ def main() -> int:
                     help="BN statistics baked into the serving program. "
                          "'running' (default) = proper eval mode: "
                          "deterministic per-sample outputs (batch-"
-                         "composition-invariant) and ~12%% faster "
-                         "(PARITY.md 'Serving statistics'). 'batch' = "
+                         "composition-invariant) and 5-10%% faster at "
+                         "bs=1/16 (evidence/serving_stats_study.json; "
+                         "PARITY.md 'Serving statistics'). 'batch' = "
                          "exact reference semantics (its Tester never "
                          "calls .eval(), util/tester.py:98-121).")
     ap.add_argument("--verify", action="store_true",

@@ -33,9 +33,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # platform must be pinned BEFORE jax initializes (the axon TPU plugin
-# ignores JAX_PLATFORMS — utils/platform.py); pre-scan argv for it
-_TPU = "tpu" in [sys.argv[i + 1] for i, a in enumerate(sys.argv)
-                 if a == "--platform" and i + 1 < len(sys.argv)]
+# ignores JAX_PLATFORMS — utils/platform.py); pre-scan argv for it,
+# accepting both "--platform tpu" and "--platform=tpu" (argparse does)
+from seg2eye_tpu.utils.platform import wants_platform  # noqa: E402
+
+_TPU = wants_platform(sys.argv, "tpu")
 if _TPU:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(REPO, ".jax_cache"))

@@ -53,16 +53,7 @@ from seg2eye_tpu.train.loop import device_batch          # noqa: E402
 from seg2eye_tpu.train.steps import StepFunctions        # noqa: E402
 
 
-def timeit(fn, args, iters):
-    """device_get of a scalar per call — honest sync on the remote-TPU
-    platform (bench.py timing methodology)."""
-    s = jax.jit(lambda o: jnp.sum(o[0].astype(jnp.float32)))
-    float(np.asarray(s(fn(*args))))                      # warmup / compile
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    float(np.asarray(s(out)))
-    return (time.time() - t0) / iters
+from seg2eye_tpu.utils.timing import device_timeit as timeit  # noqa: E402
 
 
 def main() -> int:
