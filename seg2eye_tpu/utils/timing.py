@@ -3,8 +3,12 @@
 On the axon remote-TPU tunnel, ``block_until_ready`` resolves before
 execution actually finishes, so wall-clock timing must block on a
 ``device_get`` of a scalar computed FROM the output (bench.py timing
-methodology).  This is the single shared implementation; the bench tools
-all import it so the sync subtlety lives in one place.
+methodology).  This is the shared implementation for the serving/inference
+bench tools; ``utils/roofline.py`` keeps its sibling ``timeit`` (same
+methodology, all-inexact-leaves sync + MFU plumbing) for the roofline
+tools.  ``device_timeit`` casts the FIRST leaf regardless of dtype, so it
+also syncs correctly on integer-only outputs (e.g. the SegNet serving
+artifact's uint8 argmax map).
 """
 from __future__ import annotations
 
