@@ -105,8 +105,6 @@ class OpenEDSPreparator:
         g_subset = out.create_group(subset)
         users = self._user_mapping(subset)
         for i, user in enumerate(users):
-            if i > self.limit:
-                break
             g = g_subset.create_group(user["id"])
             ss = os.path.join(self.base_path, FOLDER_SS, subset)
             self.create_dataset_images(
@@ -121,14 +119,17 @@ class OpenEDSPreparator:
             self.create_dataset_images(
                 os.path.join(self.base_path, FOLDER_SEQ, subset),
                 user["sequence_images"], g, "images_seq")
+            # the reference checks the limit AFTER processing
+            # (prepare_openeds.py:109-110), so --limit N packs N+1 users —
+            # off-by-one reproduced for dataset-for-dataset parity
+            if i > self.limit:
+                break
 
     def _run_test_subset(self, out):
         subset = "test"
         print(f"Processing '{subset}'...")
         g_subset = out.create_group(subset)
         for i, user in enumerate(self._user_mapping(subset)):
-            if i > self.limit:
-                break
             g = g_subset.create_group(user["id"])
             ss = os.path.join(self.base_path, FOLDER_SS, subset)
             self.create_dataset_images(
@@ -140,6 +141,10 @@ class OpenEDSPreparator:
             self.create_dataset_images(
                 os.path.join(self.base_path, FOLDER_SEQ, subset),
                 user["sequence_images"], g, "images_seq")
+            # post-body limit check, as the reference (prepare_openeds.py:
+            # 135-136) — --limit N packs N+1 users
+            if i > self.limit:
+                break
 
 
 def main(argv=None):

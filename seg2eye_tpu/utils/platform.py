@@ -10,17 +10,23 @@ import os
 
 
 def wants_platform(argv, name: str) -> bool:
-    """True iff ``--platform <name>`` or ``--platform=<name>`` is in argv.
+    """True iff the LAST ``--platform <x>`` / ``--platform=<x>`` in argv
+    names ``name`` — matching argparse's last-occurrence-wins resolution,
+    so contradictory argv like ``--platform tpu --platform cpu`` pins the
+    same backend argparse will later report.
 
     Used by tools that must pin the backend BEFORE importing jax (argparse
     hasn't run yet at that point, and it accepts both spellings — the scan
     must too, or an equals-form TPU run silently lands on CPU).  This
     module imports no jax, so it is safe to import pre-initialization.
     """
-    return any(
-        (a == "--platform" and i + 1 < len(argv) and argv[i + 1] == name)
-        or a == f"--platform={name}"
-        for i, a in enumerate(argv))
+    last = None
+    for i, a in enumerate(argv):
+        if a == "--platform" and i + 1 < len(argv):
+            last = argv[i + 1]
+        elif a.startswith("--platform="):
+            last = a.split("=", 1)[1]
+    return last == name
 
 
 def configure_from_env() -> None:

@@ -185,6 +185,11 @@ def test_wants_platform_both_spellings():
     assert not wants_platform(["x", "--platform=cpu"], "tpu")
     assert not wants_platform(["x", "--platform"], "tpu")  # dangling flag
     assert not wants_platform(["x"], "tpu")
+    # contradictory argv resolves like argparse: last occurrence wins
+    assert not wants_platform(["x", "--platform", "tpu",
+                               "--platform", "cpu"], "tpu")
+    assert wants_platform(["x", "--platform=cpu", "--platform", "tpu"],
+                          "tpu")
 
 
 def test_device_timeit_shared_helper():

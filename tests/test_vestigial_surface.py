@@ -191,9 +191,11 @@ def test_colorize_labels_lut_gather():
 
 
 def test_colorize_labels_negative_ids_render_black():
-    """Reference Colorize writes only ids 0..N-1 (util/util.py:258-271);
-    corrupted/ignore-style negative ids must stay black, not python-wrap
-    into the palette."""
+    """The upstream SPADE codebase's Colorize writes only ids 0..N-1 (the
+    class is referenced at util/util.py:122 but never defined in the
+    reference checkout — calling it there would NameError; the standard
+    SPADE behavior is the spec here); corrupted/ignore-style negative ids
+    must stay black, not python-wrap into the palette."""
     from seg2eye_tpu.utils.colormap import colorize_labels, label_colormap
     out = colorize_labels(np.asarray([[-1, 2]]), 4)
     np.testing.assert_array_equal(out[0, 0], [0, 0, 0])
