@@ -22,6 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from seg2eye_tpu.models.layers import TorchBatchNorm
+
 
 def _kaiming_fan_out(key, shape, dtype=jnp.float32):
     receptive = 1
@@ -32,11 +34,11 @@ def _kaiming_fan_out(key, shape, dtype=jnp.float32):
 
 
 def _bn(name, train):
-    """BatchNorm in f32 (stats + normalize), result cast back to the input's
+    """BatchNorm in f32 (stats + normalize, exact torch train semantics —
+    models/layers.py TorchBatchNorm), result cast back to the input's
     compute dtype (a no-op for f32 inputs — bitwise parity preserved)."""
     def apply(x):
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name=name)(x)
+        y = TorchBatchNorm(use_running_average=not train, name=name)(x)
         return y.astype(x.dtype)
     return apply
 

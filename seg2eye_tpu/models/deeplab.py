@@ -29,6 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from seg2eye_tpu.models.layers import TorchBatchNorm
 from seg2eye_tpu.ops.image import resize_bilinear_ac
 
 
@@ -66,9 +67,8 @@ class ConvBN(nn.Module):
                     padding=((pad, pad), (pad, pad)),
                     kernel_dilation=(d, d), use_bias=False, dtype=dtype,
                     kernel_init=kaiming_init(self.init_mode), name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         name="bn")(x).astype(dtype)
+        x = TorchBatchNorm(use_running_average=not train,
+                           name="bn")(x).astype(dtype)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -111,9 +111,8 @@ class ResNetBackbone(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=kaiming_init("fan_out"),
                     dtype=x.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         name="bn1")(x).astype(x.dtype)
+        x = TorchBatchNorm(use_running_average=not train,
+                           name="bn1")(x).astype(x.dtype)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -170,9 +169,8 @@ class InvertedResidual(nn.Module):
                       feature_group_count=hidden, use_bias=False,
                       dtype=out.dtype,
                       kernel_init=kaiming_init("fan_out"), name="dw")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32,
-                           name="dw_bn")(out).astype(out.dtype)
+        out = TorchBatchNorm(use_running_average=not train,
+                             name="dw_bn")(out).astype(out.dtype)
         out = _relu6(out)
         out = ConvBN(self.features, 1, relu=False, name="project")(out, train)
         return x + out if use_res else out

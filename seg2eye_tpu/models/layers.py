@@ -139,6 +139,62 @@ class SubNorm(nn.Module):
         raise ValueError(self.sub)
 
 
+class TorchBatchNorm(nn.Module):
+    """Affine BatchNorm with EXACT torch.nn.BatchNorm2d training semantics.
+
+    flax's nn.BatchNorm differs from torch in two ways that the RefineNet
+    torch oracle (tools/check_reference_parity.py check_refinenet_wrapper)
+    exposed on the 100+-BN DeepLab stacks:
+
+      * variance: flax defaults to the one-pass E[x^2]-E[x]^2 form, which
+        cancels catastrophically on post-ReLU activations (mean ~ std);
+        torch computes the two-pass E[(x-E[x])^2].  Reproduced here.
+      * running-var update: torch blends the Bessel-corrected (unbiased,
+        n/(n-1)) batch variance into running_var (batch_norm_cpu semantics)
+        while flax blends the biased one.  Negligible at production spatial
+        sizes (n = B*H*W >= 8000 -> <0.02%) but 3% at the toy-geometry
+        oracle's ASPP bottleneck (n=32).  Reproduced here.
+
+    Variable names/collections match nn.BatchNorm (params {scale,bias},
+    batch_stats {mean,var}) so every converter/exporter is unaffected.
+    Stats and normalization compute in f32; the result is returned in f32
+    (call sites cast back to the compute dtype, as before).
+    """
+    use_running_average: bool = False
+    momentum: float = 0.9                       # retain factor, torch 1-0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            n = 1
+            for ax in red:
+                n *= x.shape[ax]
+            mean = jnp.mean(xf, red)
+            var = jnp.mean(jnp.square(xf - mean), red)   # two-pass, biased
+            if not self.is_initializing():
+                bessel = n / (n - 1) if n > 1 else 1.0
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var * bessel)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class ParamFreeBatchNorm(nn.Module):
     """torch BatchNorm2d(affine=False) equivalent with running stats."""
     momentum: float = 0.9

@@ -37,6 +37,13 @@ def main(ref="/root/reference"):
     import jax.numpy as jnp
     import torch
 
+    # persistent compile cache (shared with the test suite's CPU cache):
+    # the training-parity value_and_grad programs are the slow part on this
+    # 1-core host; warm reruns of this tool then start in seconds
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", ".jax_cache"))
+
     # stub torchvision (only transitively imported by the reference)
     tv = types.ModuleType("torchvision")
     tr = types.ModuleType("torchvision.transforms")
@@ -263,8 +270,586 @@ def main(ref="/root/reference"):
                              for k, v in tdl.state_dict().items()},
                             tex.export_deeplab(vdl, backbone=bb), tdl)
 
+    ok &= check_refinenet_wrapper(ref)
+    ok &= check_training_parity(ref)
+    ok &= check_tester_epilogue(ref)
+
     print("\nPARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def check_tester_epilogue(ref="/root/reference"):
+    """Tester epilogue oracle (round-3 verdict stretch item 7).
+
+    One batch through the reference's inference epilogue — fake ->
+    ImageProcessor.to_255resized_imagebatch (cv2 INTER_LINEAR 320x256 ->
+    640x400 + truncating unnormalize, data/postprocessor.py:97-115) ->
+    MSECalculator.calculate_mse_for_images (models/networks/loss.py:116-133,
+    the util/tester.py:44-47,92-96 path) — vs our in-graph
+    ops.image.to_255resized + ops.metrics.mse_for_images, quantifying the
+    cv2-vs-in-graph-bilinear delta on BOTH a smooth (eye-like) and a
+    white-noise (worst-case) batch with a stated bound.
+
+    The reference's resize calls ``.astype(np.float)``; modern numpy removed
+    the alias, so it is shimmed to builtins.float for the oracle run only.
+    """
+    import jax.numpy as jnp
+    import torch
+
+    # stub torchvision for data/__init__ -> base_dataset (idempotent; main()
+    # installs the same stub, but keep this check standalone-runnable)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        tr.Compose = tr.Resize = tr.Lambda = tr.ToTensor = tr.Normalize = \
+            object
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+
+    had_float = hasattr(np, "float")
+    if not had_float:
+        np.float = float                           # reference-era alias
+    try:
+        sys.path.insert(0, ref)
+        from data.postprocessor import ImageProcessor
+        from models.networks.loss import MSECalculator
+
+        from seg2eye_tpu.ops.image import to_255resized
+        from seg2eye_tpu.ops import metrics
+
+        rng = np.random.default_rng(21)
+        B, H, W = 2, 320, 256
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        smooth = np.stack([
+            np.sin(yy / 37.0 + b) * np.cos(xx / 23.0 - b) * 0.8
+            for b in range(B)])[..., None].astype(np.float32)
+        noise = rng.uniform(-1, 1, (B, H, W, 1)).astype(np.float32)
+        target = rng.integers(0, 256, (B, 1, 640, 400)).astype(np.float64)
+
+        ok = True
+        for tag, fake in (("smooth", smooth), ("noise", noise)):
+            tfake = torch.from_numpy(np.transpose(fake, (0, 3, 1, 2)))
+            t255 = ImageProcessor.to_255resized_imagebatch(tfake,
+                                                           as_tensor=True)
+            terr = MSECalculator.calculate_mse_for_images(
+                t255.float(), torch.from_numpy(target).float()).numpy()
+            j255 = np.asarray(to_255resized(jnp.asarray(fake)))
+            jerr = np.asarray(metrics.mse_for_images(
+                jnp.asarray(j255),
+                jnp.asarray(np.transpose(target, (0, 2, 3, 1)))))
+            px = np.abs(j255[..., 0] - t255.numpy()[:, 0])
+            frac_off = float((px > 1).mean())
+            err_rel = float(np.max(np.abs(jerr - terr) / terr))
+            good = err_rel < 2e-3 and frac_off < 0.02
+            ok &= good
+            print(f"{'OK ' if good else 'FAIL'} tester epilogue [{tag}]: "
+                  f"score rel diff {err_rel:.2e}; resized-255 pixels "
+                  f"max|d| {px.max():.0f}, frac>1 {frac_off:.4f} "
+                  f"(cv2 vs in-graph bilinear + trunc)")
+        return ok
+    finally:
+        if not had_float:
+            del np.float
+
+
+def check_refinenet_wrapper(ref="/root/reference"):
+    """RefineNet task-wrapper oracle (round-3 verdict item 4).
+
+    Drives the reference's /root/reference/refinenet/model.py:20-66 RefineNet
+    (DeepLab subclass) on CPU with converted weights and one batch, and
+    compares against seg2eye_tpu.refinenet.model.RefineNetModel:
+
+      * eval-mode outputs: residual, prediction (residual+reference clamp),
+        l1_loss, per_image_score, score (x1471), eds_loss
+      * train-mode outputs (BN batch stats; dropout forced off on both sides)
+      * gradients of eds_loss w.r.t. every trainable parameter
+      * one matched SGD(momentum=0.99, nesterov, weight_decay=1e-4) update
+        (the production optimizer, refinenet/train_refinenet.py:236-243),
+        taken with OUR optimizer factory (refinenet/training.py
+        make_optimizer) vs torch.optim.SGD — post-step params compared.
+    """
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    # the reference module does `from core import DefaultConfig`; the real
+    # core/__init__ drags in gsheet/tensorboard deps — stub with the real
+    # DefaultConfig loaded straight from core/config_default.py
+    spec = importlib.util.spec_from_file_location(
+        "ref_core_config",
+        os.path.join(ref, "refinenet", "core", "config_default.py"))
+    core_cfg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(core_cfg)
+    core_stub = types.ModuleType("core")
+    core_stub.DefaultConfig = core_cfg.DefaultConfig
+    sys.modules["core"] = core_stub
+    sys.path.insert(0, os.path.join(ref, "refinenet"))
+
+    import torch.utils.model_zoo as zoo
+
+    class _FakeZooDict(dict):
+        def __delitem__(self, key):
+            self.pop(key, None)
+
+    zoo.load_url = lambda *a, **k: _FakeZooDict()
+    orig_lsd = torch.nn.Module.load_state_dict
+    torch.nn.Module.load_state_dict = lambda s, d, strict=True: None
+    spec = importlib.util.spec_from_file_location(
+        "ref_refinenet_model", os.path.join(ref, "refinenet", "model.py"))
+    ref_model_mod = importlib.util.module_from_spec(spec)
+    torch.manual_seed(7)
+    spec.loader.exec_module(ref_model_mod)
+    tnet = ref_model_mod.RefineNet(num_classes=1, backbone="resnet",
+                                   output_stride=16, sync_bn=False,
+                                   freeze_bn=False)
+    torch.nn.Module.load_state_dict = orig_lsd
+
+    from seg2eye_tpu.refinenet.config import RefineNetConfig
+    from seg2eye_tpu.refinenet.model import RefineNetModel
+    from seg2eye_tpu.refinenet.training import make_optimizer
+    from seg2eye_tpu.utils import torch_convert as tc
+    from seg2eye_tpu.utils import torch_export as tex
+
+    cfg = RefineNetConfig(batch_size=2, compute_dtype="float32",
+                          resnet_depth=101, backbone="resnet",
+                          output_stride=16, input_width=64, input_height=64,
+                          weight_decay=1e-4, gradient_norm_clip=0.0,
+                          prefetch=0)
+    jmodel = RefineNetModel(cfg)
+    template = jax.eval_shape(
+        lambda k: jmodel.net.init(k, jnp.zeros((1, 64, 64, 3), jnp.float32)),
+        jax.random.PRNGKey(0))
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), template)
+    jvars = tc.convert_deeplab(
+        {k: v.detach().numpy() for k, v in tnet.state_dict().items()},
+        template)
+
+    rng = np.random.default_rng(11)
+    B, H, W = 2, 64, 64
+    x = rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (B, H, W, 1)).astype(np.float32)
+    batch = {"input": jnp.asarray(x), "target": jnp.asarray(y)}
+    tx_in = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty_in = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+    meta = {"person_id": ["p0", "p1"], "fname": ["f0", "f1"]}
+
+    def report(name, ours, theirs, tol=5e-4):
+        ours, theirs = np.asarray(ours), np.asarray(theirs)
+        diff = np.max(np.abs(ours - theirs))
+        scale = max(np.max(np.abs(theirs)), 1e-6)
+        good = diff / scale < tol
+        print(f"{'OK ' if good else 'FAIL'} refinenet {name}: "
+              f"max|diff| {diff:.3e} (rel {diff / scale:.3e})")
+        return good
+
+    def nchw(t):
+        return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+    def compare_outputs(tag, tout, jout, tol=5e-4):
+        good = True
+        good &= report(f"{tag} residual", jout["residual"],
+                       nchw(tout["residual"]), tol)
+        good &= report(f"{tag} prediction", jout["prediction"],
+                       nchw(tout["prediction"]), tol)
+        for k in ("l1_loss", "per_image_score", "score", "eds_loss"):
+            good &= report(f"{tag} {k}", jout[k],
+                           tout[k].detach().numpy(), tol)
+        return good
+
+    ok = True
+    # ---- eval mode ----
+    tnet.eval()
+    with torch.no_grad():
+        tout = tnet({"input": tx_in, "target": ty_in, **meta})
+    jout, _ = jmodel.forward(jvars, batch, train=False)
+    ok &= compare_outputs("eval", tout, jout)
+
+    # ---- train mode (batch stats; dropout off on both sides for
+    # determinism — ours passes rng=None => deterministic=True) ----
+    tnet.train()
+    for m in tnet.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+    # f64 oracle twin: 100+ chained batch-stat normalizations condition the
+    # f32 forward/backward badly (each BN rescales to unit variance, so
+    # reduction-order noise compounds per layer).  The torch f32 run's own
+    # deviation from the f64 run is the noise floor; ours must sit within a
+    # small multiple of it — that separates roundoff conditioning from a
+    # semantic mismatch (which would NOT shrink in f64).
+    import copy as _copy
+    tnet64 = _copy.deepcopy(tnet).double()
+    tout64 = tnet64({"train": {"input": tx_in.double(),
+                               "target": ty_in.double(), **meta}})
+    tout = tnet({"train": {"input": tx_in, "target": ty_in, **meta}})
+    jout_t, _jvars_t = jmodel.forward(jvars, batch, train=True, rng=None)
+
+    def rel_to(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-12))
+
+    tr_ok = True
+    for key, jval in (("residual", jout_t["residual"]),
+                      ("prediction", jout_t["prediction"]),
+                      ("l1_loss", jout_t["l1_loss"]),
+                      ("per_image_score", jout_t["per_image_score"]),
+                      ("score", jout_t["score"]),
+                      ("eds_loss", jout_t["eds_loss"])):
+        t64 = tout64[key].detach().numpy()
+        t32 = tout[key].detach().numpy()
+        if key in ("residual", "prediction"):
+            t64, t32 = np.transpose(t64, (0, 2, 3, 1)), \
+                np.transpose(t32, (0, 2, 3, 1))
+        floor = rel_to(t32, t64)
+        dev = rel_to(jval, t64)
+        good = dev <= max(5 * floor, 5e-5)
+        tr_ok &= good
+        print(f"{'OK ' if good else 'FAIL'} refinenet train {key}: ours vs "
+              f"f64 rel {dev:.2e} (torch f32 floor {floor:.2e})")
+    ok &= tr_ok
+
+    # ---- gradients of eds_loss + one production-optimizer step ----
+    lr, wd = 0.01, cfg.weight_decay
+    opt_t = torch.optim.SGD(tnet.parameters(), lr=lr, weight_decay=wd,
+                            momentum=0.99, nesterov=True)
+    opt_t.zero_grad(set_to_none=True)
+    tout["eds_loss"].backward()
+    tout64["eds_loss"].backward()
+    tgrads = {k: (None if p.grad is None else p.grad.detach().numpy())
+              for k, p in tnet.named_parameters()}
+    tgrads64 = {k: (None if p.grad is None
+                    else p.grad.detach().numpy())
+                for k, p in tnet64.named_parameters()}
+    sd_before = {k: v.detach().numpy().copy()
+                 for k, v in tnet.state_dict().items()}
+    opt_t.step()
+    sd_after = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+
+    def loss_fn(params):
+        out, _ = jmodel.forward({**jvars, "params": params}, batch,
+                                train=True, rng=None)
+        return out["eds_loss"]
+
+    jgrads = jax.jit(jax.grad(loss_fn))(jvars["params"])
+    gexp = tex.export_deeplab({**jvars, "params": jgrads})
+    tnz = {k: v for k, v in tgrads.items() if v is not None}
+    gmax = max(np.max(np.abs(tgrads64[k])) for k in tnz)
+    worst_dev, worst_floor, wkey = -1.0, -1.0, None
+    for k in tnz:
+        t64 = tgrads64[k]
+        denom = max(np.max(np.abs(t64)), 1e-3 * gmax, 1e-12)
+        floor = float(np.max(np.abs(tnz[k] - t64)) / denom)
+        dev = float(np.max(np.abs(np.asarray(gexp[k]) - t64)) / denom)
+        worst_floor = max(worst_floor, floor)
+        if dev > worst_dev:
+            worst_dev, wkey = dev, k
+    gok = worst_dev <= max(5 * worst_floor, 5e-3)
+    print(f"{'OK ' if gok else 'FAIL'} refinenet grad eds_loss "
+          f"({len(tnz)} params, ours-vs-f64 worst rel {worst_dev:.2e} "
+          f"@ {wkey}; torch-f32-vs-f64 floor {worst_floor:.2e})")
+    ok &= gok
+
+    tx = make_optimizer(cfg, momentum=0.99)
+    opt_state = tx.init(jvars["params"])
+    # our factory injects the lr hyperparam; override to the test lr
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    updates, _ = tx.update(jgrads, opt_state, jvars["params"])
+    new_params = optax.apply_updates(jvars["params"], updates)
+    pexp = tex.export_deeplab({**jvars, "params": new_params})
+    # compare the parameter UPDATES (post - pre): both optimizers start from
+    # the identical converted params, so this checks the SGD algebra
+    # (wd-into-grad, momentum buffer init, nesterov compose) at first-step
+    # precision without the huge params masking — or amplifying — grad noise
+    umax = max(np.max(np.abs(sd_after[k] - sd_before[k])) for k in tnz)
+    worst_u, wkey_u = -1.0, None
+    for k in tnz:
+        tu = sd_after[k] - sd_before[k]
+        ju = np.asarray(pexp[k]) - sd_before[k]
+        rel = float(np.max(np.abs(ju - tu))
+                    / max(np.max(np.abs(tu)), 1e-3 * umax, 1e-12))
+        if rel > worst_u:
+            worst_u, wkey_u = rel, k
+    pok = worst_u <= max(5 * worst_floor, 5e-3)
+    print(f"{'OK ' if pok else 'FAIL'} refinenet SGD(0.99,nesterov,wd) "
+          f"update ({len(tnz)} params, worst rel {worst_u:.2e} @ {wkey_u}; "
+          f"grad noise floor {worst_floor:.2e})")
+    ok &= pok
+    return ok
+
+
+def check_training_parity(ref="/root/reference"):
+    """Training-step parity: loss dicts + gradients vs the torch reference.
+
+    Builds the reference's full Pix2PixModel (models/pix2pix_model.py) on CPU
+    at a tiny config with EVERY optional loss enabled
+    (l1/l2/openeds/style_w/style_feat/gram + GAN_Feat; VGG stays off — the
+    fork's VGGLoss class is missing, pix2pix_model.py:37-38), converts the
+    weights, and on one identical batch compares, for each gan_mode:
+
+      * every entry of compute_generator_loss / compute_discriminator_loss
+        (pix2pix_model.py:186-264) including the raw loss-log side channel
+        (pix2pix_model.py:49-59 via get_loss_log), and
+      * the gradients of sum(losses).mean() (trainers/pix2pix_trainer.py:30)
+        w.r.t. every trainable parameter of netG/netE/netD, compared in torch
+        layout via utils/torch_export (pure transposes, so exporting the
+        gradient pytree is exact).
+
+    This is the end-to-end check of the five detach sites
+    (pix2pix_model.py:170,182,218 no-ops; :251-254 and loss.py:198 real) and
+    of every loss actually reaching the total: a stop_gradient added or
+    omitted anywhere shows up as a gradient mismatch here.
+    """
+    import argparse
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    # Pix2PixModel does `from util.tester import MSECalculator`
+    # (pix2pix_model.py:6); util/tester.py drags in h5py/data/visualizer/
+    # scipy.misc, but its MSECalculator IS models.networks.loss.MSECalculator
+    # re-exported through models/networks/__init__.py:10 — stub the module
+    # with the identical class object.
+    import models.networks as ref_networks
+    import models.networks.loss as ref_loss
+
+    ut = types.ModuleType("util.tester")
+    ut.MSECalculator = ref_loss.MSECalculator
+    sys.modules["util.tester"] = ut
+    from models.pix2pix_model import Pix2PixModel
+
+    from seg2eye_tpu.models.pix2pix import Pix2Pix
+    from seg2eye_tpu.options import Options
+    from seg2eye_tpu.utils import torch_convert as tc
+    from seg2eye_tpu.utils import torch_export as tex
+
+    cfg = dict(ngf=8, ndf=8, w_dim=8, crop_size=256, aspect_ratio=0.8,
+               label_nc=4, num_D=2, n_layers_D=4)
+    lam = dict(lambda_l2=7.0, lambda_l1=3.0, lambda_openeds=2.0,
+               lambda_style_w=1.5, lambda_style_feat=0.5, lambda_gram=120.0,
+               lambda_feat=10.0)
+    topt = argparse.Namespace(
+        isTrain=True, continue_train=False, gpu_ids=[],
+        init_type="xavier", init_variance=0.02,
+        no_ganFeat_loss=False, no_vgg_loss=True,
+        gan_mode="hinge", style_aggr_method="mean",
+        norm_G="spectralspadebatch3x3", norm_D="spectralinstance",
+        norm_E="spectralinstance", semantic_nc=4, input_nc=1, output_nc=1,
+        num_upsampling_layers="normal", netD_subarch="n_layer",
+        **lam, **cfg)
+    torch.manual_seed(123)
+    tmodel = Pix2PixModel(topt)
+    tmodel.train()
+    nets = {"G": tmodel.netG, "E": tmodel.netE, "D": tmodel.netD}
+
+    # Burn in the spectral-norm power iterations before snapshotting the
+    # state.  The reference encodes styles in a per-sample Python loop
+    # (pix2pix_model.py:285), so weight_u advances once PER SAMPLE with
+    # intra-batch drift — sample b sees a (b+1)-times-iterated u — while the
+    # fused (B*k) encode advances it once per step (models/pix2pix.py
+    # encode_w).  That is a documented estimation-detail deviation
+    # (PARITY.md "spectral u drift"): at fresh-random u it dominates the
+    # tiny near-cancelling style losses (measured: gram/raw rel ~1e-1,
+    # E-grad rel up to 2.5e-1) while everything downstream of the fake
+    # matches (D losses 2e-7, D grads 4e-6).  After u converges to the top
+    # singular vector both semantics coincide, and every loss and gradient
+    # must match — the oracle then checks what it is for: the
+    # loss/gradient PLUMBING (detach sites, weights, reductions).
+    with torch.no_grad():
+        bi = np.random.default_rng(3)
+        e_in = torch.from_numpy(
+            bi.uniform(-1, 1, (2, 1, 64, 64)).astype(np.float32))
+        g_seg = torch.from_numpy(np.transpose(np.asarray(
+            jax.nn.one_hot(bi.integers(0, 4, (2, 32, 32)), 4,
+                           dtype=np.float32)), (0, 3, 1, 2)))
+        g_w = torch.from_numpy(
+            bi.normal(size=(2, cfg["w_dim"])).astype(np.float32))
+        d_in = torch.from_numpy(
+            bi.uniform(-1, 1, (2, 5, 32, 32)).astype(np.float32))
+        # 300 iterations: the residual per-call u motion decays geometrically
+        # with the spectral gap; at 100 iterations the slowest-gap layers
+        # still moved enough to leave ~1e-2 relative noise on a few
+        # spectral-conv gradients (measured); at 300 the drift is below the
+        # gradient tolerance
+        for _ in range(300):
+            tmodel.netE(e_in)
+            tmodel.netG(g_seg, g_w)
+            tmodel.netD(d_in)
+
+    sd0 = {n: copy.deepcopy(m.state_dict()) for n, m in nets.items()}
+
+    B, K = 2, 2
+    H, W = 320, 256  # crop_size / aspect_ratio x crop_size
+    rng = np.random.default_rng(7)
+    label = rng.integers(0, 4, (B, H, W))
+    style = rng.uniform(-1, 1, (B, K, H, W, 1)).astype(np.float32)
+    target = rng.uniform(-1, 1, (B, H, W, 1)).astype(np.float32)
+    tdata = {
+        "label": torch.from_numpy(label[:, None]).long(),
+        "style_image": torch.from_numpy(
+            np.transpose(style, (0, 1, 4, 2, 3))),
+        "target": torch.from_numpy(np.transpose(target, (0, 3, 1, 2))),
+        "filename": ["a.png", "b.png"],
+    }
+    batch = {"label": jnp.asarray(label),
+             "style_image": jnp.asarray(style),
+             "target": jnp.asarray(target)}
+
+    def sdnp(n):
+        return {k: v.detach().numpy() for k, v in sd0[n].items()}
+
+    jopt = Options(compute_dtype="float32", isTrain=True, input_ns=K,
+                   batchSize=B, no_ganFeat_loss=False,
+                   style_aggr_method="mean", **lam, **cfg).finalize()
+    jmodel = Pix2Pix(jopt)
+    jvars = jmodel.init_variables(jax.random.PRNGKey(1))
+    jvars = {
+        "G": tc.convert_generator(sdnp("G"), jvars["G"]),
+        "E": tc.convert_encoder(sdnp("E"), jvars["E"], w_dim=cfg["w_dim"]),
+        "D": tc.convert_discriminator(sdnp("D"), jvars["D"],
+                                      num_d=cfg["num_D"],
+                                      n_layers=cfg["n_layers_D"]),
+    }
+    params0 = {n: jvars[n]["params"] for n in ("G", "E", "D")}
+
+    def torch_step(mode, which):
+        """Run one reference G or D loss from the pristine state; return
+        (loss dict incl. raw log entries, {net: {param_name: grad}})."""
+        for n, m in nets.items():
+            m.load_state_dict(sd0[n], strict=True)
+            m.zero_grad(set_to_none=True)
+        tmodel.criterionGAN = ref_networks.GANLoss(
+            mode, tensor=torch.FloatTensor, opt=topt)
+        tmodel.reset_loss_log()
+        if which == "G":
+            losses, _ = tmodel(copy.copy(tdata), mode="generator")
+        else:
+            losses = tmodel(copy.copy(tdata), mode="discriminator")
+        total = sum(losses.values()).mean()
+        total.backward()
+        losses = {k: v.detach().numpy() for k, v in losses.items()}
+        losses.update({k: v.detach().numpy()
+                       for k, v in tmodel.get_loss_log().items()})
+        grads = {n: {k: (None if p.grad is None
+                         else p.grad.detach().numpy())
+                     for k, p in m.named_parameters()}
+                 for n, m in nets.items()}
+        return losses, grads
+
+    def jax_fns(mode):
+        m = Pix2Pix(Options(compute_dtype="float32", isTrain=True,
+                            input_ns=K, batchSize=B, no_ganFeat_loss=False,
+                            style_aggr_method="mean", gan_mode=mode,
+                            **lam, **cfg).finalize())
+
+        def gloss(p, b):
+            v = {n: {**jvars[n], "params": p[n]} for n in ("G", "E", "D")}
+            total, (losses, _fake, _newv) = m.generator_loss(v, b)
+            return total, losses
+
+        def dloss(p, b):
+            v = {n: {**jvars[n], "params": p[n]} for n in ("G", "E", "D")}
+            total, (losses, _newv) = m.discriminator_loss(v, b)
+            return total, losses
+
+        return (jax.jit(jax.value_and_grad(gloss, has_aux=True)),
+                jax.jit(jax.value_and_grad(dloss, has_aux=True)))
+
+    def export_grads(g):
+        """Gradient pytrees -> torch-layout dicts (transposes only)."""
+        return {
+            "G": tex.export_generator({**jvars["G"], "params": g["G"]}),
+            "E": tex.export_encoder({**jvars["E"], "params": g["E"]}),
+            "D": tex.export_discriminator(
+                {**jvars["D"], "params": g["D"]},
+                num_d=cfg["num_D"], n_layers=cfg["n_layers_D"]),
+        }
+
+    def compare_losses(tag, jdict, tdict, tol=3e-4):
+        good = True
+        if set(jdict) != set(tdict):
+            print(f"FAIL {tag} loss keys: ours-only="
+                  f"{sorted(set(jdict) - set(tdict))} "
+                  f"torch-only={sorted(set(tdict) - set(jdict))}")
+            good = False
+        worst, wkey = -1.0, None
+        for k in sorted(set(jdict) & set(tdict)):
+            # torch entries may be (1,)- or (B,)-shaped (GANLoss list path,
+            # per-image openeds); the trainer means them — compare means
+            tval = float(np.mean(tdict[k]))
+            jval = float(np.mean(np.asarray(jdict[k])))
+            rel = abs(jval - tval) / max(abs(tval), 1e-6)
+            if rel > worst:
+                worst, wkey = rel, k
+            if rel >= tol:
+                print(f"  {tag} {k}: ours {jval:.6g} torch {tval:.6g} "
+                      f"(rel {rel:.2e})")
+                good = False
+        print(f"{'OK ' if good else 'FAIL'} {tag} losses "
+              f"({len(tdict)} entries, worst rel {worst:.2e} @ {wkey})")
+        return good
+
+    def compare_grads(tag, jraw, jexp, tgrads, tol=5e-3):
+        good = True
+        for n in ("G", "E", "D"):
+            tnet = {k: v for k, v in tgrads[n].items() if v is not None}
+            if not tnet:
+                # torch no_grad path (D-step G/E): ours must be exactly 0
+                # (checked on the raw pytree — the export view also carries
+                # the nonzero u/v and BN-stat buffers)
+                zmax = max(float(jnp.max(jnp.abs(x)))
+                           for x in jax.tree_util.tree_leaves(jraw[n]))
+                net_ok = zmax == 0.0
+                good &= net_ok
+                print(f"{'OK ' if net_ok else 'FAIL'} {tag} grad {n}: torch "
+                      f"has no grads (no_grad); ours max|g| = {zmax:.1e}")
+                continue
+            gmax = max(np.max(np.abs(v)) for v in tnet.values())
+            worst, wkey, cnt, net_ok = -1.0, None, 0, True
+            for k, tg in tnet.items():
+                ja = np.asarray(jexp[n][k])
+                # floor tiny per-param scales at 1e-3 of the net-wide max so
+                # roundoff on near-zero grads can't masquerade as mismatch
+                denom = max(np.max(np.abs(tg)), 1e-3 * gmax, 1e-12)
+                diff = float(np.max(np.abs(ja - tg)))
+                rel = diff / denom
+                cnt += 1
+                if rel > worst:
+                    worst, wkey = rel, k
+                # absolute-noise gate: some grads are ANALYTICALLY zero
+                # (e.g. wgan-mode D final-layer bias — the +b term cancels
+                # between the fake and real means), so both sides hold pure
+                # roundoff and their relative comparison is meaningless;
+                # only flag when the difference is also non-noise vs the
+                # net-wide gradient scale
+                if rel >= tol and diff >= 1e-4 * gmax:
+                    print(f"  {tag} grad {n}.{k}: rel {rel:.2e} "
+                          f"(|t|max {np.max(np.abs(tg)):.3g})")
+                    net_ok = False
+            good &= net_ok
+            print(f"{'OK ' if net_ok else 'FAIL'} {tag} grad {n} "
+                  f"({cnt} params, worst rel {worst:.2e} @ {wkey})")
+        return good
+
+    ok = True
+    for mode in ("hinge", "original", "ls", "w"):
+        tg_losses, tg_grads = torch_step(mode, "G")
+        td_losses, td_grads = torch_step(mode, "D")
+        gfn, dfn = jax_fns(mode)
+        (_, jg_losses), jg_grads = gfn(params0, batch)
+        (_, jd_losses), jd_grads = dfn(params0, batch)
+        ok &= compare_losses(f"G[{mode}]", jg_losses, tg_losses)
+        ok &= compare_losses(f"D[{mode}]", jd_losses, td_losses)
+        ok &= compare_grads(f"G[{mode}]", jg_grads, export_grads(jg_grads),
+                            tg_grads)
+        ok &= compare_grads(f"D[{mode}]", jd_grads, export_grads(jd_grads),
+                            td_grads)
+    return ok
 
 
 if __name__ == "__main__":
