@@ -272,10 +272,248 @@ def main(ref="/root/reference"):
 
     ok &= check_refinenet_wrapper(ref)
     ok &= check_training_parity(ref)
+    ok &= check_lockstep_dynamics(ref)
     ok &= check_tester_epilogue(ref)
 
     print("\nPARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def check_lockstep_dynamics(ref="/root/reference", n_steps=8):
+    """Multi-step LOCKSTEP weight-trajectory parity vs the torch reference.
+
+    The statistical convergence twin (tools/torch_twin.py) cannot be bitwise
+    because at B>1 the reference's per-sample encoder loop
+    (pix2pix_model.py:285) advances spectral-norm u once per SAMPLE while the
+    fused encode advances it once per STEP.  At **B=1 the two semantics
+    coincide exactly**, so the full training dynamics — TTUR Adam
+    (pix2pix_model.py:92-110, betas (0,.9), G lr/2 D lr*2, coupled
+    weight_decay), the G-then-D step order (train.py:52-62), every u power
+    iteration and BatchNorm running-stat update of all three nets — can be
+    compared step-for-step on the actual weight trajectories.
+
+    Three arms from one converted init on one fixed batch stream:
+      * torch float64 — the ground-truth trajectory (model.double()),
+      * torch float32 — the reference's own rounding noise floor,
+      * ours float32  — StepFunctions.train_step (reuse_fake=False).
+    After every fused G+D step, every floating tensor of the three
+    state_dicts (params, weight_u/v, BN running stats — via the bitwise
+    reverse exporters) is compared against the f64 oracle.  PASS iff our
+    drift from the f64 trajectory stays within a small multiple of torch's
+    own f32 drift: beta1=0 Adam normalizes by |g|, so sub-roundoff gradient
+    differences near zero-crossings legitimately amplify to O(lr) on BOTH
+    f32 arms — the floor calibration is what makes the check honest.
+    """
+    import argparse
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    import models.networks.loss as ref_loss
+
+    if "util.tester" not in sys.modules:
+        ut = types.ModuleType("util.tester")
+        ut.MSECalculator = ref_loss.MSECalculator
+        sys.modules["util.tester"] = ut
+    from models.pix2pix_model import Pix2PixModel
+
+    from seg2eye_tpu.models.pix2pix import Pix2Pix
+    from seg2eye_tpu.options import Options
+    from seg2eye_tpu.train import state as state_lib
+    from seg2eye_tpu.train.steps import StepFunctions
+    from seg2eye_tpu.utils import torch_convert as tc
+    from seg2eye_tpu.utils import torch_export as tex
+
+    cfg = dict(ngf=8, ndf=8, w_dim=8, crop_size=256, aspect_ratio=0.8,
+               label_nc=4, num_D=2, n_layers_D=4)
+    lam = dict(lambda_l2=7.0, lambda_l1=3.0, lambda_openeds=2.0,
+               lambda_style_w=1.5, lambda_style_feat=0.5, lambda_gram=120.0,
+               lambda_feat=10.0)
+    B, K, H, W = 1, 2, 320, 256
+    LR, WD = 2e-4, 1e-4
+    topt = argparse.Namespace(
+        isTrain=True, continue_train=False, gpu_ids=[],
+        init_type="xavier", init_variance=0.02,
+        no_ganFeat_loss=False, no_vgg_loss=True,
+        gan_mode="hinge", style_aggr_method="mean",
+        norm_G="spectralspadebatch3x3", norm_D="spectralinstance",
+        norm_E="spectralinstance", semantic_nc=4, input_nc=1, output_nc=1,
+        num_upsampling_layers="normal", netD_subarch="n_layer",
+        no_TTUR=False, beta1=0.5, beta2=0.999, lr=LR, weight_decay=WD,
+        **lam, **cfg)
+    torch.manual_seed(17)
+    proto = Pix2PixModel(topt)
+    sd0 = {n: copy.deepcopy(m.state_dict())
+           for n, m in (("G", proto.netG), ("E", proto.netE),
+                        ("D", proto.netD))}
+
+    rng = np.random.default_rng(21)
+    stream = []
+    for _ in range(n_steps):
+        stream.append({
+            "label": rng.integers(0, 4, (B, H, W)),
+            "style_image": rng.uniform(
+                -1, 1, (B, K, H, W, 1)).astype(np.float32),
+            "target": rng.uniform(-1, 1, (B, H, W, 1)).astype(np.float32),
+        })
+
+    _adam = torch.optim.Adam
+
+    def adam_f(params, lr, betas, weight_decay):
+        # the reference's TTUR betas are the int/float pair (0, 0.9)
+        # (pix2pix_model.py:102); torch>=2.x rejects mixed types — a
+        # float-cast is numerically identical
+        return _adam(params, lr=lr, betas=tuple(float(b) for b in betas),
+                     weight_decay=weight_decay)
+
+    def run_torch_arm(double):
+        m = Pix2PixModel(topt)
+        for name, net in (("G", m.netG), ("E", m.netE), ("D", m.netD)):
+            net.load_state_dict(sd0[name], strict=True)
+        if double:
+            m.double()
+            # the one-hot scatter (pix2pix_model.py:151) and the GAN_Feat
+            # accumulator (:233) are built via self.FloatTensor; with f64
+            # weights the f32 one-hot errors and the f32 += f64 in-place
+            # accumulate is rejected by torch promotion rules
+            m.FloatTensor = torch.DoubleTensor
+        m.train()
+        torch.optim.Adam = adam_f
+        try:
+            opt_g, opt_d = m.create_optimizers(topt)
+        finally:
+            torch.optim.Adam = _adam
+        ft = torch.float64 if double else torch.float32
+        snaps = []
+        for nb in stream:
+            d = {
+                "label": torch.from_numpy(nb["label"][:, None]),
+                "style_image": torch.from_numpy(np.transpose(
+                    nb["style_image"], (0, 1, 4, 2, 3))).to(ft),
+                "target": torch.from_numpy(np.transpose(
+                    nb["target"], (0, 3, 1, 2))).to(ft),
+                "filename": ["x"] * B,
+            }
+            # train.py:52-62 via pix2pix_trainer.py:26-45: G step, D step
+            opt_g.zero_grad()
+            g_losses, _ = m(copy.copy(d), mode="generator")
+            sum(g_losses.values()).mean().backward()
+            opt_g.step()
+            opt_d.zero_grad()
+            d_losses = m(copy.copy(d), mode="discriminator")
+            sum(d_losses.values()).mean().backward()
+            opt_d.step()
+            snaps.append({
+                name: {k: v.detach().numpy().astype(np.float64).copy()
+                       for k, v in net.state_dict().items()
+                       if v.dtype.is_floating_point}
+                for name, net in (("G", m.netG), ("E", m.netE),
+                                  ("D", m.netD))})
+        return snaps
+
+    def run_jax_arm():
+        def sdnp(n):
+            return {k: v.detach().numpy() for k, v in sd0[n].items()}
+
+        jopt = Options(compute_dtype="float32", isTrain=True, input_ns=K,
+                       batchSize=B, no_ganFeat_loss=False, gan_mode="hinge",
+                       style_aggr_method="mean", lr=LR, weight_decay=WD,
+                       reuse_fake=False, **lam, **cfg).finalize()
+        jmodel = Pix2Pix(jopt)
+        st = state_lib.create_state(jmodel, jax.random.PRNGKey(0))
+        variables = dict(st.variables)
+        variables["G"] = tc.convert_generator(sdnp("G"), variables["G"])
+        variables["E"] = tc.convert_encoder(sdnp("E"), variables["E"],
+                                            w_dim=cfg["w_dim"])
+        variables["D"] = tc.convert_discriminator(
+            sdnp("D"), variables["D"], num_d=cfg["num_D"],
+            n_layers=cfg["n_layers_D"])
+        st = st.replace(variables=variables)
+        sf = StepFunctions(jmodel, donate=False)
+        snaps = []
+        for nb in stream:
+            jb = {k: jnp.asarray(v) for k, v in nb.items()}
+            st, _losses, _fake = sf.train_step(st, jb)
+            snaps.append({
+                "G": tex.export_generator(st.variables["G"]),
+                "E": tex.export_encoder(st.variables["E"]),
+                "D": tex.export_discriminator(st.variables["D"],
+                                              num_d=cfg["num_D"],
+                                              n_layers=cfg["n_layers_D"]),
+            })
+        return snaps
+
+    t64 = run_torch_arm(double=True)
+    t32 = run_torch_arm(double=False)
+    ours = run_jax_arm()
+
+    def group_of(k):
+        if k.endswith("running_mean") or k.endswith("running_var"):
+            return "stats"
+        if k.endswith("weight_u") or k.endswith("weight_v"):
+            return "uv"
+        return "params"
+
+    ok = True
+    for n in ("G", "E", "D"):
+        for grp in ("params", "uv", "stats"):
+            rows = []
+            for s in range(n_steps):
+                num_o = num_f = den = 0.0
+                max_o = max_f = 0.0
+                for k, a64 in t64[s][n].items():
+                    if group_of(k) != grp:
+                        continue
+                    ao = np.asarray(ours[s][n][k], np.float64)
+                    a32 = t32[s][n][k]
+                    num_o += float(((ao - a64) ** 2).sum())
+                    num_f += float(((a32 - a64) ** 2).sum())
+                    den += float((a64 ** 2).sum())
+                    max_o = max(max_o, float(np.max(np.abs(ao - a64))))
+                    max_f = max(max_f, float(np.max(np.abs(a32 - a64))))
+                if den == 0.0:
+                    rows = None
+                    break
+                rows.append(((num_o / den) ** 0.5, (num_f / den) ** 0.5,
+                             max_o, max_f))
+            if rows is None:
+                continue  # net has no tensors of this group (e.g. E stats)
+            rms_o, rms_f, max_o, max_f = rows[-1]
+            traj_o = " ".join(f"{r[0]:.1e}" for r in rows)
+            traj_f = " ".join(f"{r[1]:.1e}" for r in rows)
+            # Envelope criterion (final step): by step ~4 BOTH f32 arms
+            # decorrelate from the f64 oracle to O(0.01-1) relative rms —
+            # beta1=0 Adam turns roundoff-level gradient sign flips near
+            # zero-crossings into full +-lr moves, so single-precision GAN
+            # training here is chaotic WITHIN torch itself (measured floor;
+            # the basis for judging multi-step dynamics statistically in
+            # tools/torch_twin.py).  Ours must sit inside the same envelope.
+            net_ok = (rms_o <= 3.0 * rms_f + 1e-9
+                      and max_o <= 5.0 * max_f + 1e-7)
+            # Step-1 criterion (discriminative): after ONE fused step the
+            # arms are still numerically coupled, so the update PLUMBING
+            # shows sharply.  A skipped/extra spectral power iteration
+            # (torch advances u on EVERY training-mode forward incl. the
+            # D-phase no_grad regeneration, pix2pix_model.py:251-254) or a
+            # missed BN running-stat update would leave an O(1e-2..1e-1)
+            # step-1 residual; measured step-1 drift is <=3.1e-6 (uv) /
+            # <=5.7e-4 (stats).  params are excluded: their step-1 drift is
+            # legitimately dominated by cross-framework conv rounding
+            # (~1e-3 rel grads) through the sign-sensitive Adam update —
+            # near-cancelling style-loss gradients put E at 2.4e-2.
+            if grp == "uv":
+                net_ok &= rows[0][0] <= max(10.0 * rows[0][1], 1e-4)
+            elif grp == "stats":
+                net_ok &= rows[0][0] <= max(10.0 * rows[0][1], 1e-3)
+            ok &= net_ok
+            print(f"{'OK ' if net_ok else 'FAIL'} lockstep {n}.{grp} "
+                  f"final rms {rms_o:.2e} (floor {rms_f:.2e}) "
+                  f"max {max_o:.2e} (floor {max_f:.2e})\n"
+                  f"     ours-vs-f64 per step  [{traj_o}]\n"
+                  f"     t32 -vs-f64 per step  [{traj_f}]")
+    return ok
 
 
 def check_tester_epilogue(ref="/root/reference"):
