@@ -234,3 +234,45 @@ def test_measured_step_s_prefers_newest_parsed_bench(tmp_path):
         {"rc": 0, "parsed": {"step_ms": 150.0}}))         # newest parsed wins
     (tmp_path / "BENCH_r04.json").write_text("not json")  # unreadable: skip
     assert mod._measured_step_s(repo=str(tmp_path)) == 0.150
+
+
+def test_ref_compat_adam_shim_restores_on_exception():
+    """tools/_ref_compat.float_betas_adam must restore torch.optim.Adam
+    even when the wrapped block raises (a leaked shim would silently
+    change every later optimizer construction in the process), and the
+    shim itself must float-cast the reference's mixed (0, 0.9) betas
+    (pix2pix_model.py:102) that torch>=2.x rejects."""
+    import torch
+
+    rc = _load_tool("_ref_compat")
+    orig = torch.optim.Adam
+    try:
+        with rc.float_betas_adam():
+            shim = torch.optim.Adam
+            assert shim is not orig
+            p = torch.nn.Parameter(torch.zeros(2))
+            opt = shim([p], lr=1e-3, betas=(0, 0.9), weight_decay=0.0)
+            assert opt.param_groups[0]["betas"] == (0.0, 0.9)
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert torch.optim.Adam is orig
+
+
+def test_ref_compat_torchvision_stub_idempotent(monkeypatch):
+    """stub_torchvision must install importable stub modules and be safe
+    to call twice (setdefault semantics — a second tool in the same
+    process must not clobber the first stub)."""
+    import sys
+
+    rc = _load_tool("_ref_compat")
+    monkeypatch.delitem(sys.modules, "torchvision", raising=False)
+    monkeypatch.delitem(sys.modules, "torchvision.transforms", raising=False)
+    rc.stub_torchvision()
+    first = sys.modules["torchvision"]
+    rc.stub_torchvision()
+    assert sys.modules["torchvision"] is first
+    import torchvision.transforms as tr
+    assert tr.Compose is object
+    monkeypatch.delitem(sys.modules, "torchvision", raising=False)
+    monkeypatch.delitem(sys.modules, "torchvision.transforms", raising=False)

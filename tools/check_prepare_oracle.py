@@ -19,7 +19,6 @@ import json
 import os
 import sys
 import tempfile
-import types
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -82,15 +81,11 @@ def compare(ref_h5, our_h5, tag):
 
 
 def main(ref="/root/reference"):
+    from tools import _ref_compat
+
     # stub torchvision (reference data/__init__.py -> base_dataset imports it)
-    tv = types.ModuleType("torchvision")
-    tr_ = types.ModuleType("torchvision.transforms")
-    tr_.Compose = tr_.Resize = tr_.Lambda = tr_.ToTensor = tr_.Normalize = \
-        object
-    tv.transforms = tr_
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.transforms", tr_)
-    sys.path.insert(0, ref)
+    _ref_compat.stub_torchvision()
+    _ref_compat.add_reference_path(ref)
     from data.prepare_openeds import OpenEDSPreparator as RefPreparator
 
     from seg2eye_tpu.data.prepare_openeds import (

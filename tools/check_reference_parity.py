@@ -44,14 +44,11 @@ def main(ref="/root/reference"):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", ".jax_cache"))
 
+    from tools import _ref_compat
+
     # stub torchvision (only transitively imported by the reference)
-    tv = types.ModuleType("torchvision")
-    tr = types.ModuleType("torchvision.transforms")
-    tr.Compose = tr.Resize = tr.Lambda = tr.ToTensor = tr.Normalize = object
-    tv.transforms = tr
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.transforms"] = tr
-    sys.path.insert(0, ref)
+    _ref_compat.stub_torchvision()
+    _ref_compat.add_reference_path(ref)
 
     from models.networks.discriminator import MultiscaleDiscriminator
     from models.networks.encoder import ConvEncoder
@@ -206,11 +203,14 @@ def main(ref="/root/reference"):
     # DeepLab (RefineNet backbone) forward parity
     sys.path.insert(0, os.path.join(ref, "refinenet", "deeplab"))
     import torch.utils.model_zoo as zoo
+    orig_zoo = zoo.load_url
     zoo.load_url = lambda *a, **k: {}
     orig_lsd = torch.nn.Module.load_state_dict
     torch.nn.Module.load_state_dict = lambda s, d, strict=True: None
-    from modeling.deeplab import DeepLab as TorchDeepLab
-    torch.nn.Module.load_state_dict = orig_lsd
+    try:
+        from modeling.deeplab import DeepLab as TorchDeepLab
+    finally:
+        torch.nn.Module.load_state_dict = orig_lsd
 
     from seg2eye_tpu.models.deeplab import DeepLab as FlaxDeepLab
     tdl = TorchDeepLab(backbone="resnet", output_stride=16, num_classes=1,
@@ -245,9 +245,11 @@ def main(ref="/root/reference"):
     for bb in ("xception", "drn", "mobilenet"):
         torch.manual_seed(1)
         torch.nn.Module.load_state_dict = lambda s, d, strict=True: None
-        tdl = TorchDeepLab(backbone=bb, output_stride=16, num_classes=1,
-                           sync_bn=False)
-        torch.nn.Module.load_state_dict = orig_lsd
+        try:
+            tdl = TorchDeepLab(backbone=bb, output_stride=16, num_classes=1,
+                               sync_bn=False)
+        finally:
+            torch.nn.Module.load_state_dict = orig_lsd
         tdl.eval()
         fdl = FlaxDeepLab(backbone=bb, output_stride=16, num_classes=1)
         template = jax.eval_shape(
@@ -270,6 +272,7 @@ def main(ref="/root/reference"):
                              for k, v in tdl.state_dict().items()},
                             tex.export_deeplab(vdl, backbone=bb), tdl)
 
+    zoo.load_url = orig_zoo
     ok &= check_refinenet_wrapper(ref)
     ok &= check_training_parity(ref)
     ok &= check_lockstep_dynamics(ref)
@@ -311,12 +314,9 @@ def check_lockstep_dynamics(ref="/root/reference", n_steps=8):
     import jax.numpy as jnp
     import torch
 
-    import models.networks.loss as ref_loss
+    from tools import _ref_compat
 
-    if "util.tester" not in sys.modules:
-        ut = types.ModuleType("util.tester")
-        ut.MSECalculator = ref_loss.MSECalculator
-        sys.modules["util.tester"] = ut
+    _ref_compat.stub_util_tester()
     from models.pix2pix_model import Pix2PixModel
 
     from seg2eye_tpu.models.pix2pix import Pix2Pix
@@ -359,15 +359,6 @@ def check_lockstep_dynamics(ref="/root/reference", n_steps=8):
             "target": rng.uniform(-1, 1, (B, H, W, 1)).astype(np.float32),
         })
 
-    _adam = torch.optim.Adam
-
-    def adam_f(params, lr, betas, weight_decay):
-        # the reference's TTUR betas are the int/float pair (0, 0.9)
-        # (pix2pix_model.py:102); torch>=2.x rejects mixed types — a
-        # float-cast is numerically identical
-        return _adam(params, lr=lr, betas=tuple(float(b) for b in betas),
-                     weight_decay=weight_decay)
-
     def run_torch_arm(double):
         m = Pix2PixModel(topt)
         for name, net in (("G", m.netG), ("E", m.netE), ("D", m.netD)):
@@ -380,11 +371,8 @@ def check_lockstep_dynamics(ref="/root/reference", n_steps=8):
             # accumulate is rejected by torch promotion rules
             m.FloatTensor = torch.DoubleTensor
         m.train()
-        torch.optim.Adam = adam_f
-        try:
+        with _ref_compat.float_betas_adam():
             opt_g, opt_d = m.create_optimizers(topt)
-        finally:
-            torch.optim.Adam = _adam
         ft = torch.float64 if double else torch.float32
         snaps = []
         for nb in stream:
@@ -534,22 +522,17 @@ def check_tester_epilogue(ref="/root/reference"):
     import jax.numpy as jnp
     import torch
 
+    from tools import _ref_compat
+
     # stub torchvision for data/__init__ -> base_dataset (idempotent; main()
     # installs the same stub, but keep this check standalone-runnable)
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tr = types.ModuleType("torchvision.transforms")
-        tr.Compose = tr.Resize = tr.Lambda = tr.ToTensor = tr.Normalize = \
-            object
-        tv.transforms = tr
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tr
+    _ref_compat.stub_torchvision()
 
     had_float = hasattr(np, "float")
     if not had_float:
         np.float = float                           # reference-era alias
     try:
-        sys.path.insert(0, ref)
+        _ref_compat.add_reference_path(ref)
         from data.postprocessor import ImageProcessor
         from models.networks.loss import MSECalculator
 
@@ -624,8 +607,6 @@ def check_refinenet_wrapper(ref="/root/reference"):
     spec.loader.exec_module(core_cfg)
     core_stub = types.ModuleType("core")
     core_stub.DefaultConfig = core_cfg.DefaultConfig
-    sys.modules["core"] = core_stub
-    sys.path.insert(0, os.path.join(ref, "refinenet"))
 
     import torch.utils.model_zoo as zoo
 
@@ -633,18 +614,34 @@ def check_refinenet_wrapper(ref="/root/reference"):
         def __delitem__(self, key):
             self.pop(key, None)
 
-    zoo.load_url = lambda *a, **k: _FakeZooDict()
+    # patch only around the reference-module import + construction, and
+    # restore even on failure: a leaked no-op load_state_dict would make
+    # every later strict-load reverse-export check vacuously pass
+    had_core = "core" in sys.modules
+    orig_core = sys.modules.get("core")
+    orig_zoo = zoo.load_url
     orig_lsd = torch.nn.Module.load_state_dict
+    sys.modules["core"] = core_stub
+    sys.path.insert(0, os.path.join(ref, "refinenet"))
+    zoo.load_url = lambda *a, **k: _FakeZooDict()
     torch.nn.Module.load_state_dict = lambda s, d, strict=True: None
-    spec = importlib.util.spec_from_file_location(
-        "ref_refinenet_model", os.path.join(ref, "refinenet", "model.py"))
-    ref_model_mod = importlib.util.module_from_spec(spec)
-    torch.manual_seed(7)
-    spec.loader.exec_module(ref_model_mod)
-    tnet = ref_model_mod.RefineNet(num_classes=1, backbone="resnet",
-                                   output_stride=16, sync_bn=False,
-                                   freeze_bn=False)
-    torch.nn.Module.load_state_dict = orig_lsd
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_refinenet_model", os.path.join(ref, "refinenet", "model.py"))
+        ref_model_mod = importlib.util.module_from_spec(spec)
+        torch.manual_seed(7)
+        spec.loader.exec_module(ref_model_mod)
+        tnet = ref_model_mod.RefineNet(num_classes=1, backbone="resnet",
+                                       output_stride=16, sync_bn=False,
+                                       freeze_bn=False)
+    finally:
+        torch.nn.Module.load_state_dict = orig_lsd
+        zoo.load_url = orig_zoo
+        sys.path.remove(os.path.join(ref, "refinenet"))
+        if had_core:
+            sys.modules["core"] = orig_core
+        else:
+            sys.modules.pop("core", None)
 
     from seg2eye_tpu.refinenet.config import RefineNetConfig
     from seg2eye_tpu.refinenet.model import RefineNetModel
@@ -852,13 +849,12 @@ def check_training_parity(ref="/root/reference"):
     # (pix2pix_model.py:6); util/tester.py drags in h5py/data/visualizer/
     # scipy.misc, but its MSECalculator IS models.networks.loss.MSECalculator
     # re-exported through models/networks/__init__.py:10 — stub the module
-    # with the identical class object.
+    # with the identical class object (tools/_ref_compat.py).
     import models.networks as ref_networks
-    import models.networks.loss as ref_loss
 
-    ut = types.ModuleType("util.tester")
-    ut.MSECalculator = ref_loss.MSECalculator
-    sys.modules["util.tester"] = ut
+    from tools import _ref_compat
+
+    _ref_compat.stub_util_tester()
     from models.pix2pix_model import Pix2PixModel
 
     from seg2eye_tpu.models.pix2pix import Pix2Pix

@@ -24,7 +24,6 @@ import argparse
 import json
 import os
 import sys
-import types
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -84,17 +83,11 @@ def score_batch(fake: np.ndarray, target: np.ndarray) -> float:
 def run_torch(train_batches, val_batches, steps, eval_every, ref, seed=42):
     import torch
 
-    tv = types.ModuleType("torchvision")
-    tr = types.ModuleType("torchvision.transforms")
-    tr.Compose = tr.Resize = tr.Lambda = tr.ToTensor = tr.Normalize = object
-    tv.transforms = tr
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.transforms", tr)
-    sys.path.insert(0, ref)
-    import models.networks.loss as ref_loss
-    ut = types.ModuleType("util.tester")
-    ut.MSECalculator = ref_loss.MSECalculator
-    sys.modules["util.tester"] = ut
+    from tools import _ref_compat
+
+    _ref_compat.stub_torchvision()
+    _ref_compat.add_reference_path(ref)
+    _ref_compat.stub_util_tester()
     from models.pix2pix_model import Pix2PixModel
 
     topt = argparse.Namespace(
@@ -114,20 +107,8 @@ def run_torch(train_batches, val_batches, steps, eval_every, ref, seed=42):
                for k, v in m.state_dict().items()}
            for n, m in (("G", model.netG), ("E", model.netE),
                         ("D", model.netD))}
-    # the reference's TTUR betas are the int/float pair (0, 0.9)
-    # (pix2pix_model.py:102); torch>=2.x rejects mixed types — float-cast
-    # shim, numerically identical
-    _adam = torch.optim.Adam
-
-    def adam_f(params, lr, betas, weight_decay):
-        return _adam(params, lr=lr, betas=tuple(float(b) for b in betas),
-                     weight_decay=weight_decay)
-
-    torch.optim.Adam = adam_f
-    try:
+    with _ref_compat.float_betas_adam():
         opt_g, opt_d = model.create_optimizers(topt)
-    finally:
-        torch.optim.Adam = _adam
 
     def tdata(nb):
         return {
@@ -140,6 +121,16 @@ def run_torch(train_batches, val_batches, steps, eval_every, ref, seed=42):
         }
 
     def evaluate():
+        # The model stays in train mode for inference (reference Tester
+        # semantics: batch stats, never .eval()), but in torch that ALSO
+        # advances spectral-norm u in-place on every forward — a side
+        # effect our functional inference discards.  Snapshot + restore so
+        # the training trajectory is invariant to --eval_every, matching
+        # the jax arm.
+        saved = {n: {k: v.detach().clone()
+                     for k, v in m.state_dict().items()}
+                 for n, m in (("G", model.netG), ("E", model.netE),
+                              ("D", model.netD))}
         scores = []
         with torch.no_grad():
             for nb in val_batches:
@@ -147,6 +138,9 @@ def run_torch(train_batches, val_batches, steps, eval_every, ref, seed=42):
                 fake = model(d, mode="inference")
                 scores.append(score_batch(
                     np.transpose(fake.numpy(), (0, 2, 3, 1)), nb["target"]))
+        for n, m in (("G", model.netG), ("E", model.netE),
+                     ("D", model.netD)):
+            m.load_state_dict(saved[n], strict=True)
         return float(np.mean(scores))
 
     hist = {"step": [], "val": [], "g_loss": [], "d_loss": []}
@@ -279,10 +273,11 @@ def main(argv=None):
     path = os.path.join(REPO, "evidence", "torch_twin.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
+    corr_s = "n/a" if corr is None else f"{corr:.3f}"
     print(f"TORCH TWIN: {'PASS' if verdict else 'FAIL'} "
           f"(tail val torch {t_tail:.2f} / torch-seed43 {t2_tail:.2f} / "
           f"jax {j_tail:.2f}; cross gap {gap:.1%} vs seed noise "
-          f"{seed_noise:.1%}; corr {corr:.3f}) -> {path}")
+          f"{seed_noise:.1%}; corr {corr_s}) -> {path}")
     return 0 if verdict else 1
 
 
