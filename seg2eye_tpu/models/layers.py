@@ -129,10 +129,13 @@ class SubNorm(nn.Module):
         if self.sub == "instance":
             return instance_norm(x)
         if self.sub == "batch":
-            # BaseNetwork.init_weights sets BN weight ~ N(1, gain)
-            return nn.BatchNorm(
+            # BaseNetwork.init_weights sets BN weight ~ N(1, gain).
+            # TorchBatchNorm, not flax nn.BatchNorm: the 'spectralbatch'
+            # norm_D/norm_E variants must get the same torch-exact
+            # two-pass variance + Bessel-corrected running update as the
+            # DeepLab stacks (see TorchBatchNorm below).
+            return TorchBatchNorm(
                 use_running_average=use_running_average,
-                momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
                 scale_init=lambda key, shape, dtype=jnp.float32:
                 1.0 + jax.random.normal(key, shape, dtype) * self.init_gain,
             )(x)
@@ -155,19 +158,23 @@ class TorchBatchNorm(nn.Module):
         sizes (n = B*H*W >= 8000 -> <0.02%) but 3% at the toy-geometry
         oracle's ASPP bottleneck (n=32).  Reproduced here.
 
-    Variable names/collections match nn.BatchNorm (params {scale,bias},
-    batch_stats {mean,var}) so every converter/exporter is unaffected.
+    Also backs SubNorm's 'batch' path (the reference-legal spectralbatch
+    norm_D/norm_E variants), so every BN in the repo shares these
+    semantics.  Variable names/collections match nn.BatchNorm (params
+    {scale,bias}, batch_stats {mean,var}) so every converter/exporter is
+    unaffected.
     Stats and normalization compute in f32; the result is returned in f32
     (call sites cast back to the compute dtype, as before).
     """
     use_running_average: bool = False
     momentum: float = 0.9                       # retain factor, torch 1-0.1
     epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         feat = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (feat,),
+        scale = self.param("scale", self.scale_init, (feat,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (feat,),
                           jnp.float32)
@@ -186,27 +193,17 @@ class TorchBatchNorm(nn.Module):
             mean = jnp.mean(xf, red)
             var = jnp.mean(jnp.square(xf - mean), red)   # two-pass, biased
             if not self.is_initializing():
-                bessel = n / (n - 1) if n > 1 else 1.0
+                # jax.core.max_dim instead of a Python conditional: n may
+                # be a symbolic dimension under jax.export shape
+                # polymorphism (same convention as normalization.py SPADE
+                # param-free BN)
+                bessel = n / jax.core.max_dim(n - 1, 1)
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1 - self.momentum) * var * bessel)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias
-
-
-class ParamFreeBatchNorm(nn.Module):
-    """torch BatchNorm2d(affine=False) equivalent with running stats."""
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
-        return nn.BatchNorm(
-            use_running_average=use_running_average,
-            momentum=self.momentum, epsilon=self.epsilon,
-            use_bias=False, use_scale=False, dtype=jnp.float32,
-        )(x)
 
 
 def _l2_normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -74,3 +74,30 @@ def test_eval_uses_running_stats():
     yj = m_eval.apply(v, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(yj),
                                np.transpose(yt, (0, 2, 3, 1)), atol=2e-6)
+
+
+def test_subnorm_batch_delegates_to_torch_batchnorm():
+    """SubNorm's 'batch' path (the reference-legal spectralbatch norm_D/E
+    variants, normalization.py:15-47 get_nonspade_norm_layer) must share
+    TorchBatchNorm's torch-exact semantics — review finding round 4: it
+    previously built flax nn.BatchNorm with one-pass variance and a biased
+    running-var update.  Checks the delegation and the Bessel-corrected
+    running update, and that init keeps the N(1, gain) BN weight."""
+    from seg2eye_tpu.models.layers import SubNorm
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32)
+    sn = SubNorm(sub="batch")
+    v = sn.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    assert "TorchBatchNorm_0" in v["params"]
+    scale = np.asarray(v["params"]["TorchBatchNorm_0"]["scale"])
+    assert not np.allclose(scale, 1.0)           # N(1, 0.02) init, not ones
+    assert np.allclose(scale, 1.0, atol=0.2)
+
+    _, mut = sn.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+    n = x.size // x.shape[-1]
+    xf = x.reshape(-1, x.shape[-1])
+    biased = ((xf - xf.mean(0)) ** 2).mean(0)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["TorchBatchNorm_0"]["var"]),
+        0.9 * 1.0 + 0.1 * biased * n / (n - 1), rtol=1e-6)

@@ -49,9 +49,13 @@ def float_betas_adam():
     import torch
     _adam = torch.optim.Adam
 
-    def adam_f(params, lr, betas, weight_decay):
-        return _adam(params, lr=lr, betas=tuple(float(b) for b in betas),
-                     weight_decay=weight_decay)
+    def adam_f(params, *args, **kwargs):
+        # full pass-through: the patch is process-wide for the duration of
+        # the context, so any other Adam construction (positional args,
+        # eps=, amsgrad=, ...) must still work — only betas is touched
+        if "betas" in kwargs:
+            kwargs["betas"] = tuple(float(b) for b in kwargs["betas"])
+        return _adam(params, *args, **kwargs)
 
     torch.optim.Adam = adam_f
     try:
