@@ -74,13 +74,14 @@ class MultiscaleDiscriminator(nn.Module):
     init_gain: float = 0.02
 
     @nn.compact
-    def __call__(self, x: jax.Array, update_stats: bool = False
-                 ) -> List[List[jax.Array]]:
+    def __call__(self, x: jax.Array, update_stats: bool = False,
+                 use_running_average: bool = False) -> List[List[jax.Array]]:
         result = []
         for i in range(self.num_d):
             out = NLayerDiscriminator(self.ndf, self.n_layers, self.norm_d,
                                       self.init_type, self.init_gain,
-                                      name=f"discriminator_{i}")(x, update_stats)
+                                      name=f"discriminator_{i}")(
+                x, update_stats, use_running_average)
             if not self.get_intermediate_features:
                 out = [out[-1]]
             result.append(out)

@@ -141,9 +141,15 @@ class Pix2Pix:
                 variables["E"], flat, update_stats=True, mutable=MUTABLE)
             new_e = {**variables["E"], **mut}
         else:
-            mu, logvar, feats = self.enc.apply(variables["E"], flat,
-                                               update_stats=False,
-                                               constrain=constrain)
+            # reference parity: inference runs in torch train mode (the
+            # Tester never calls .eval()), so a batch-subnorm encoder
+            # (norm_E='spectralbatch') normalizes with batch stats; flax
+            # requires batch_stats mutability for that — updates are
+            # discarded, mirroring generate() below.  No-op for the
+            # default instance norm (empty collection).
+            (mu, logvar, feats), _ = self.enc.apply(
+                variables["E"], flat, update_stats=False,
+                constrain=constrain, mutable=["batch_stats"])
             new_e = variables["E"]
         mu = mu.reshape(b, k, -1)
         feats = [f.reshape(b, k, *f.shape[1:]) for f in feats]
@@ -225,7 +231,11 @@ class Pix2Pix:
                                        update_stats=True, mutable=MUTABLE)
             new_d = {**variables["D"], **mut}
         else:
-            out = self.disc.apply(variables["D"], both, update_stats=False)
+            # same torch-train-mode batch-stat semantics as encode_w above
+            # for a batch-subnorm D; updates discarded
+            out, _ = self.disc.apply(variables["D"], both,
+                                     update_stats=False,
+                                     mutable=["batch_stats"])
             new_d = variables["D"]
 
         def halves(t):

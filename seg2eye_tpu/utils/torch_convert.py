@@ -120,6 +120,11 @@ def convert_encoder(sd: Dict[str, np.ndarray], template,
         _set(sp, (f"layer{i}", "v"),
              _perm_v(sd[f"layer{i}.0.weight_v"],
                      sd[f"layer{i}.0.weight_orig"]))
+        if f"layer{i}.1.weight" in sd:
+            # batch subnorm (norm_E='spectralbatch'), see
+            # convert_discriminator
+            _set_bn(sd, p[f"norm{i}"], v["batch_stats"][f"norm{i}"],
+                    "TorchBatchNorm_0", f"layer{i}.1")
     # fc: torch flattens (C,g,g); we flatten (g,g,C).  g is 4 for every
     # real reference checkpoint (6-layer crop>=256 path, encoder.py:36-47);
     # inferred so round-trips of our generalized small-crop encoders work.
@@ -151,6 +156,13 @@ def convert_discriminator(sd: Dict[str, np.ndarray], template,
             _set(sp, (dk, f"model{n}_conv", "u"), sd[f"{base}.weight_u"])
             _set(sp, (dk, f"model{n}_conv", "v"),
                  _perm_v(sd[f"{base}.weight_v"], sd[f"{base}.weight_orig"]))
+            if f"{dk}.model{n}.0.1.weight" in sd:
+                # batch subnorm (norm_D='spectralbatch'): the Sequential's
+                # second member is an affine BatchNorm2d
+                # (normalization.py:15-47) -> our SubNorm's TorchBatchNorm
+                _set_bn(sd, p[dk][f"norm{n}"],
+                        v["batch_stats"][dk][f"norm{n}"],
+                        "TorchBatchNorm_0", f"{dk}.model{n}.0.1")
         _set(p, (dk, f"model{n_layers}_conv", "kernel"),
              _conv(sd[f"{dk}.model{n_layers}.0.weight"]))
         _set(p, (dk, f"model{n_layers}_conv", "bias"),

@@ -141,6 +141,12 @@ def export_encoder(variables: Dict) -> Dict[str, np.ndarray]:
         _spectral(sd, f"layer{i}.0", p[f"layer{i}"], sp.get(f"layer{i}"))
         if "bias" in p[f"layer{i}"]:
             sd[f"layer{i}.0.bias"] = _f32(p[f"layer{i}"]["bias"])
+        norm = p.get(f"norm{i}", {})
+        if "TorchBatchNorm_0" in norm:
+            # batch subnorm (norm_E='spectralbatch'), see
+            # export_discriminator
+            _bn(sd, f"layer{i}.1", norm["TorchBatchNorm_0"],
+                variables["batch_stats"][f"norm{i}"]["TorchBatchNorm_0"])
     c = np.asarray(p[f"layer{n_layers - 1}"]["kernel"]).shape[-1]
     for fc in ("fc_mu", "fc_var"):
         w_dim = np.asarray(p[fc]["bias"]).shape[0]
@@ -179,6 +185,14 @@ def export_discriminator(variables: Dict, num_d: int = 2,
             if "bias" in p[dk][f"model{n}_conv"]:
                 sd[f"{dk}.model{n}.0.0.bias"] = _f32(
                     p[dk][f"model{n}_conv"]["bias"])
+            norm = p[dk].get(f"norm{n}", {})
+            if "TorchBatchNorm_0" in norm:
+                # batch subnorm (norm_D='spectralbatch') -> the affine
+                # BatchNorm2d at Sequential slot 1 (inverse of
+                # convert_discriminator)
+                _bn(sd, f"{dk}.model{n}.0.1", norm["TorchBatchNorm_0"],
+                    variables["batch_stats"][dk][f"norm{n}"]
+                    ["TorchBatchNorm_0"])
         last = f"model{n_layers}_conv"
         sd[f"{dk}.model{n_layers}.0.weight"] = _conv(p[dk][last]["kernel"])
         sd[f"{dk}.model{n_layers}.0.bias"] = _f32(p[dk][last]["bias"])

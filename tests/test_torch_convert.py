@@ -160,3 +160,30 @@ def test_mobilenet_export_emits_alias_families():
     # and nothing else leaks in
     known = {"features", "low_level_features", "high_level_features"}
     assert {k.split(".")[0] for k in sd} == known
+
+
+def test_batch_subnorm_export_roundtrip():
+    """flax -> torch -> flax over every leaf of the spectralbatch variants
+    (round 4): the BN scale/bias/mean/var of SubNorm's TorchBatchNorm must
+    survive the round trip — a silently skipped BN leaf shows up as a
+    zero-vs-random mismatch (same methodology as the default-norm
+    round-trips above).  Reference layout: get_nonspade_norm_layer builds
+    Sequential(spectral conv, affine BatchNorm2d), normalization.py:15-47."""
+    from seg2eye_tpu.models.discriminator import MultiscaleDiscriminator
+
+    d = MultiscaleDiscriminator(ndf=4, norm_d="spectralbatch")
+    tpl = _template(d, jnp.zeros((1, 32, 32, 5)))
+    v = _unique_fill(tpl)
+    sd = te.export_discriminator(v)
+    assert "discriminator_0.model1.0.1.weight" in sd
+    assert "discriminator_0.model1.0.1.running_var" in sd
+    back = tc.convert_discriminator(sd, tpl)
+    _assert_trees_equal(v, back, "D(batch) ")
+
+    enc = ConvEncoder(ngf=4, w_dim=8, crop_size=256, norm_e="spectralbatch")
+    tpl = _template(enc, jnp.zeros((1, 32, 32, 1)))
+    v = _unique_fill(tpl)
+    sd = te.export_encoder(v)
+    assert "layer0.1.weight" in sd and "layer0.1.running_mean" in sd
+    back = tc.convert_encoder(sd, tpl, w_dim=8)
+    _assert_trees_equal(v, back, "E(batch) ")

@@ -200,6 +200,79 @@ def main(ref="/root/reference"):
                  mut["spectral"]["head_0"]["conv_0"]["u"],
                  sd_t["head_0.conv_0.weight_u"].numpy(), 2e-3)
 
+    # -------- spectralbatch norm_D/norm_E variant (round 4) ---------------
+    # The reference-legal batch subnorm (get_nonspade_norm_layer,
+    # normalization.py:15-47: Sequential(spectral conv, affine BatchNorm2d),
+    # conv bias removed).  Running stats are randomized before conversion so
+    # the BN stat mapping is checked numerically, eval forwards compared,
+    # and the reverse export strict-loads bitwise.
+    from seg2eye_tpu.models.discriminator import (
+        MultiscaleDiscriminator as FlaxMSD)
+    from seg2eye_tpu.models.encoder import ConvEncoder as FlaxEnc
+
+    ns_b = argparse.Namespace(**{**vars(ns), "norm_D": "spectralbatch",
+                                 "norm_E": "spectralbatch"})
+    torch.manual_seed(5)
+    td_b, te_b = MultiscaleDiscriminator(ns_b), ConvEncoder(ns_b)
+    with torch.no_grad():
+        for mod in (td_b, te_b):
+            mod.eval()
+            for bname, buf in mod.named_buffers():
+                if bname.endswith("running_mean"):
+                    buf.copy_(torch.from_numpy(
+                        rng.normal(size=tuple(buf.shape))
+                        .astype(np.float32)))
+                elif bname.endswith("running_var"):
+                    buf.copy_(torch.from_numpy(
+                        rng.uniform(0.5, 1.5, tuple(buf.shape))
+                        .astype(np.float32)))
+
+    jd_b = FlaxMSD(ndf=cfg["ndf"], n_layers=cfg["n_layers_D"],
+                   num_d=cfg["num_D"], norm_d="spectralbatch")
+    vdb = tc.convert_discriminator(
+        sd(td_b), jd_b.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 64, 64, 5), jnp.float32)),
+        num_d=cfg["num_D"], n_layers=cfg["n_layers_D"])
+    with torch.no_grad():
+        outs_tb = td_b(torch.from_numpy(np.transpose(din, (0, 3, 1, 2))))
+    outs_jb = jd_b.apply(vdb, jnp.asarray(din), update_stats=False,
+                         use_running_average=True)
+    for s in range(len(outs_tb)):
+        for l in range(len(outs_tb[s])):
+            ok &= report(
+                f"D(spectralbatch) scale{s} layer{l}", outs_jb[s][l],
+                np.transpose(outs_tb[s][l].numpy(), (0, 2, 3, 1)), 2e-4)
+    ok &= check_reverse("discriminator(spectralbatch)", sd(td_b),
+                        tex.export_discriminator(
+                            vdb, num_d=cfg["num_D"],
+                            n_layers=cfg["n_layers_D"]), td_b)
+
+    je_b = FlaxEnc(ngf=cfg["ngf"], w_dim=cfg["w_dim"],
+                   crop_size=cfg["crop_size"], norm_e="spectralbatch")
+    veb = tc.convert_encoder(
+        sd(te_b), je_b.init(jax.random.PRNGKey(3),
+                            jnp.zeros((1, 256, 256, 1), jnp.float32)),
+        w_dim=cfg["w_dim"])
+    # The (B,1,H,W) tensor must carry torch-NATURAL strides: from_numpy
+    # gives the singleton channel dim stride 1, which torch's memory-format
+    # inference reads as channels_last; the convs then emit genuinely
+    # channels_last activations all the way to the reference's
+    # `out.view(...)` (encoder.py:69), which raises on modern torch.
+    # torch.empty(...).copy_() materializes natural strides, so the
+    # reference forward runs as written.
+    xe_b = torch.empty((img_np.shape[0], 1) + img_np.shape[1:3])
+    xe_b.copy_(torch.from_numpy(np.transpose(img_np, (0, 3, 1, 2))))
+    with torch.no_grad():
+        mu_tb, logvar_tb, _ = te_b(xe_b)
+    mu_jb, logvar_jb, _ = je_b.apply(veb, jnp.asarray(img_np),
+                                     update_stats=False,
+                                     use_running_average=True)
+    ok &= report("E(spectralbatch) mu", mu_jb, mu_tb.numpy(), 2e-4)
+    ok &= report("E(spectralbatch) logvar", logvar_jb, logvar_tb.numpy(),
+                 2e-4)
+    ok &= check_reverse("encoder(spectralbatch)", sd(te_b),
+                        tex.export_encoder(veb), te_b)
+
     # DeepLab (RefineNet backbone) forward parity
     sys.path.insert(0, os.path.join(ref, "refinenet", "deeplab"))
     import torch.utils.model_zoo as zoo
