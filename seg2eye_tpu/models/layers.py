@@ -138,7 +138,7 @@ class SubNorm(nn.Module):
                 use_running_average=use_running_average,
                 scale_init=lambda key, shape, dtype=jnp.float32:
                 1.0 + jax.random.normal(key, shape, dtype) * self.init_gain,
-            )(x)
+            )(x).astype(x.dtype)
         raise ValueError(self.sub)
 
 

@@ -143,12 +143,18 @@ class Pix2Pix:
         else:
             # reference parity: inference runs in torch train mode (the
             # Tester never calls .eval()), so a batch-subnorm encoder
-            # (norm_E='spectralbatch') normalizes with batch stats; flax
-            # requires batch_stats mutability for that — updates are
-            # discarded, mirroring generate() below.  No-op for the
-            # default instance norm (empty collection).
+            # (norm_E='spectralbatch') normalizes with batch stats unless
+            # the user opts into running-stat eval
+            # (opt.eval_use_running_stats, same switch generate() honors);
+            # flax requires batch_stats mutability for the batch-stat
+            # path — updates are discarded, mirroring generate().  No-op
+            # for the default instance norm (empty collection).  Variant
+            # caveat (PARITY.md "Batch-subnorm stats"): at B>1 the fused
+            # (B*k) encode computes BN stats over all B*k refs while the
+            # reference's per-sample loop uses each sample's own k.
             (mu, logvar, feats), _ = self.enc.apply(
                 variables["E"], flat, update_stats=False,
+                use_running_average=self.opt.eval_use_running_stats,
                 constrain=constrain, mutable=["batch_stats"])
             new_e = variables["E"]
         mu = mu.reshape(b, k, -1)
@@ -231,11 +237,13 @@ class Pix2Pix:
                                        update_stats=True, mutable=MUTABLE)
             new_d = {**variables["D"], **mut}
         else:
-            # same torch-train-mode batch-stat semantics as encode_w above
-            # for a batch-subnorm D; updates discarded
-            out, _ = self.disc.apply(variables["D"], both,
-                                     update_stats=False,
-                                     mutable=["batch_stats"])
+            # same torch-train-mode batch-stat semantics (and
+            # eval_use_running_stats opt-out) as encode_w above for a
+            # batch-subnorm D; updates discarded
+            out, _ = self.disc.apply(
+                variables["D"], both, update_stats=False,
+                use_running_average=self.opt.eval_use_running_stats,
+                mutable=["batch_stats"])
             new_d = variables["D"]
 
         def halves(t):

@@ -120,6 +120,11 @@ def convert_encoder(sd: Dict[str, np.ndarray], template,
         _set(sp, (f"layer{i}", "v"),
              _perm_v(sd[f"layer{i}.0.weight_v"],
                      sd[f"layer{i}.0.weight_orig"]))
+        if f"layer{i}.0.bias" in sd:
+            # subnorm ''/none keeps the conv bias (our generalized layout;
+            # the reference encoder CONSTRUCTOR crashes for these norms,
+            # PARITY.md "spectralbatch variant")
+            _set(p, (f"layer{i}", "bias"), sd[f"layer{i}.0.bias"])
         if f"layer{i}.1.weight" in sd:
             # batch subnorm (norm_E='spectralbatch'), see
             # convert_discriminator
@@ -150,12 +155,20 @@ def convert_discriminator(sd: Dict[str, np.ndarray], template,
              _conv(sd[f"{dk}.model0.0.weight"]))
         _set(p, (dk, "model0_conv", "bias"), sd[f"{dk}.model0.0.bias"])
         for n in range(1, n_layers):
+            # subnorm instance/batch: Sequential(spectral conv, norm) ->
+            # conv at model{n}.0.0; subnorm ''/none: add_norm_layer returns
+            # the conv directly (normalization.py:26-28) -> model{n}.0,
+            # with the conv bias kept
             base = f"{dk}.model{n}.0.0"
+            if f"{base}.weight_orig" not in sd:
+                base = f"{dk}.model{n}.0"
             _set(p, (dk, f"model{n}_conv", "kernel"),
                  _conv(sd[f"{base}.weight_orig"]))
             _set(sp, (dk, f"model{n}_conv", "u"), sd[f"{base}.weight_u"])
             _set(sp, (dk, f"model{n}_conv", "v"),
                  _perm_v(sd[f"{base}.weight_v"], sd[f"{base}.weight_orig"]))
+            if f"{base}.bias" in sd:
+                _set(p, (dk, f"model{n}_conv", "bias"), sd[f"{base}.bias"])
             if f"{dk}.model{n}.0.1.weight" in sd:
                 # batch subnorm (norm_D='spectralbatch'): the Sequential's
                 # second member is an affine BatchNorm2d
@@ -171,13 +184,12 @@ def convert_discriminator(sd: Dict[str, np.ndarray], template,
 
 
 def _set_bn(sd, flax_parent_p, flax_parent_bs, name, torch_base):
-    flax_parent_p[name]["scale"] = sd[f"{torch_base}.weight"].astype(
-        np.float32)
-    flax_parent_p[name]["bias"] = sd[f"{torch_base}.bias"].astype(np.float32)
-    flax_parent_bs[name]["mean"] = sd[
-        f"{torch_base}.running_mean"].astype(np.float32)
-    flax_parent_bs[name]["var"] = sd[
-        f"{torch_base}.running_var"].astype(np.float32)
+    # through _set so BN leaves get the same (path, shape) assertion as
+    # every converted conv/linear leaf
+    _set(flax_parent_p, (name, "scale"), sd[f"{torch_base}.weight"])
+    _set(flax_parent_p, (name, "bias"), sd[f"{torch_base}.bias"])
+    _set(flax_parent_bs, (name, "mean"), sd[f"{torch_base}.running_mean"])
+    _set(flax_parent_bs, (name, "var"), sd[f"{torch_base}.running_var"])
 
 
 def _convert_resnet_into(sd: Dict[str, np.ndarray], p, bs, prefix: str = ""):

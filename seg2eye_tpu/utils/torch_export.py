@@ -180,11 +180,17 @@ def export_discriminator(variables: Dict, num_d: int = 2,
         sd[f"{dk}.model0.0.weight"] = _conv(p[dk]["model0_conv"]["kernel"])
         sd[f"{dk}.model0.0.bias"] = _f32(p[dk]["model0_conv"]["bias"])
         for n in range(1, n_layers):
-            _spectral(sd, f"{dk}.model{n}.0.0", p[dk][f"model{n}_conv"],
+            conv_p = p[dk][f"model{n}_conv"]
+            if "bias" in conv_p:
+                # subnorm ''/none: the reference's add_norm_layer returns
+                # the conv directly (no Sequential wrapper, bias kept,
+                # normalization.py:26-28) -> keys at model{n}.0
+                _spectral(sd, f"{dk}.model{n}.0", conv_p,
+                          sp.get(dk, {}).get(f"model{n}_conv"))
+                sd[f"{dk}.model{n}.0.bias"] = _f32(conv_p["bias"])
+                continue
+            _spectral(sd, f"{dk}.model{n}.0.0", conv_p,
                       sp.get(dk, {}).get(f"model{n}_conv"))
-            if "bias" in p[dk][f"model{n}_conv"]:
-                sd[f"{dk}.model{n}.0.0.bias"] = _f32(
-                    p[dk][f"model{n}_conv"]["bias"])
             norm = p[dk].get(f"norm{n}", {})
             if "TorchBatchNorm_0" in norm:
                 # batch subnorm (norm_D='spectralbatch') -> the affine

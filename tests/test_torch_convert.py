@@ -187,3 +187,29 @@ def test_batch_subnorm_export_roundtrip():
     assert "layer0.1.weight" in sd and "layer0.1.running_mean" in sd
     back = tc.convert_encoder(sd, tpl, w_dim=8)
     _assert_trees_equal(v, back, "E(batch) ")
+
+
+def test_none_subnorm_export_roundtrip():
+    """spectralnone round trip (round 4): the reference's add_norm_layer
+    returns the conv DIRECTLY for ''/none (no Sequential wrapper, bias
+    kept, normalization.py:26-28), so the exporter emits flat model{n}.0.*
+    keys and the converter detects the layout and reads the bias back."""
+    from seg2eye_tpu.models.discriminator import MultiscaleDiscriminator
+
+    d = MultiscaleDiscriminator(ndf=4, norm_d="spectralnone")
+    tpl = _template(d, jnp.zeros((1, 32, 32, 5)))
+    v = _unique_fill(tpl)
+    sd = te.export_discriminator(v)
+    assert "discriminator_0.model1.0.weight_orig" in sd
+    assert "discriminator_0.model1.0.bias" in sd
+    assert "discriminator_0.model1.0.0.weight_orig" not in sd
+    back = tc.convert_discriminator(sd, tpl)
+    _assert_trees_equal(v, back, "D(none) ")
+
+    enc = ConvEncoder(ngf=4, w_dim=8, crop_size=256, norm_e="spectralnone")
+    tpl = _template(enc, jnp.zeros((1, 32, 32, 1)))
+    v = _unique_fill(tpl)
+    sd = te.export_encoder(v)
+    assert "layer0.0.bias" in sd
+    back = tc.convert_encoder(sd, tpl, w_dim=8)
+    _assert_trees_equal(v, back, "E(none) ")

@@ -52,9 +52,12 @@ def float_betas_adam():
     def adam_f(params, *args, **kwargs):
         # full pass-through: the patch is process-wide for the duration of
         # the context, so any other Adam construction (positional args,
-        # eps=, amsgrad=, ...) must still work — only betas is touched
+        # eps=, amsgrad=, ...) must still work — only betas is touched.
+        # betas is Adam's second positional after params (lr, betas, ...)
         if "betas" in kwargs:
             kwargs["betas"] = tuple(float(b) for b in kwargs["betas"])
+        elif len(args) >= 2:
+            args = (args[0], tuple(float(b) for b in args[1]), *args[2:])
         return _adam(params, *args, **kwargs)
 
     torch.optim.Adam = adam_f

@@ -247,6 +247,31 @@ def main(ref="/root/reference"):
                             vdb, num_d=cfg["num_D"],
                             n_layers=cfg["n_layers_D"]), td_b)
 
+    # spectralnone D: add_norm_layer returns the conv DIRECTLY (no
+    # Sequential wrapper, bias kept, normalization.py:26-28) -> flat
+    # model{n}.0.* keys; checks the layout-detecting converter/exporter
+    ns_n = argparse.Namespace(**{**vars(ns), "norm_D": "spectralnone"})
+    torch.manual_seed(6)
+    td_n = MultiscaleDiscriminator(ns_n)
+    td_n.eval()
+    jd_n = FlaxMSD(ndf=cfg["ndf"], n_layers=cfg["n_layers_D"],
+                   num_d=cfg["num_D"], norm_d="spectralnone")
+    vdn = tc.convert_discriminator(
+        sd(td_n), jd_n.init(jax.random.PRNGKey(4),
+                            jnp.zeros((1, 64, 64, 5), jnp.float32)),
+        num_d=cfg["num_D"], n_layers=cfg["n_layers_D"])
+    with torch.no_grad():
+        outs_tn = td_n(torch.from_numpy(np.transpose(din, (0, 3, 1, 2))))
+    outs_jn = jd_n.apply(vdn, jnp.asarray(din), update_stats=False)
+    for s in range(len(outs_tn)):
+        ok &= report(
+            f"D(spectralnone) scale{s} final", outs_jn[s][-1],
+            np.transpose(outs_tn[s][-1].numpy(), (0, 2, 3, 1)), 2e-4)
+    ok &= check_reverse("discriminator(spectralnone)", sd(td_n),
+                        tex.export_discriminator(
+                            vdn, num_d=cfg["num_D"],
+                            n_layers=cfg["n_layers_D"]), td_n)
+
     je_b = FlaxEnc(ngf=cfg["ngf"], w_dim=cfg["w_dim"],
                    crop_size=cfg["crop_size"], norm_e="spectralbatch")
     veb = tc.convert_encoder(
