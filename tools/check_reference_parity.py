@@ -9,6 +9,7 @@ generator (given seg one-hot + w), encoder (mu/logvar), discriminator
 
 Usage:  JAX_PLATFORMS=cpu python tools/check_reference_parity.py [ref_path]
 """
+import json
 import os
 import sys
 import types
@@ -543,6 +544,13 @@ def check_lockstep_dynamics(ref="/root/reference", n_steps=8):
         return "params"
 
     ok = True
+    evidence = {"config": {"n_steps": n_steps, "B": B, "K": K,
+                           "HxW": [H, W], "lr": LR, "weight_decay": WD,
+                           "lambdas": lam, "gan_mode": "hinge",
+                           "arms": ["torch float64 (oracle)",
+                                    "torch float32 (floor)",
+                                    "ours float32"]},
+                "per_step_rel_rms": {}}
     for n in ("G", "E", "D"):
         for grp in ("params", "uv", "stats"):
             rows = []
@@ -599,6 +607,16 @@ def check_lockstep_dynamics(ref="/root/reference", n_steps=8):
                   f"max {max_o:.2e} (floor {max_f:.2e})\n"
                   f"     ours-vs-f64 per step  [{traj_o}]\n"
                   f"     t32 -vs-f64 per step  [{traj_f}]")
+            evidence["per_step_rel_rms"][f"{n}.{grp}"] = {
+                "ours_vs_f64": [r[0] for r in rows],
+                "torch32_vs_f64_floor": [r[1] for r in rows],
+                "ok": bool(net_ok)}
+    evidence["pass"] = bool(ok)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "evidence", "lockstep.json")
+    with open(path, "w") as f:
+        json.dump(evidence, f, indent=1)
+    print(f"[lockstep] evidence -> {path}")
     return ok
 
 
