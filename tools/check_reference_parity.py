@@ -265,9 +265,10 @@ def main(ref="/root/reference"):
         outs_tn = td_n(torch.from_numpy(np.transpose(din, (0, 3, 1, 2))))
     outs_jn = jd_n.apply(vdn, jnp.asarray(din), update_stats=False)
     for s in range(len(outs_tn)):
-        ok &= report(
-            f"D(spectralnone) scale{s} final", outs_jn[s][-1],
-            np.transpose(outs_tn[s][-1].numpy(), (0, 2, 3, 1)), 2e-4)
+        for l in range(len(outs_tn[s])):
+            ok &= report(
+                f"D(spectralnone) scale{s} layer{l}", outs_jn[s][l],
+                np.transpose(outs_tn[s][l].numpy(), (0, 2, 3, 1)), 2e-4)
     ok &= check_reverse("discriminator(spectralnone)", sd(td_n),
                         tex.export_discriminator(
                             vdn, num_d=cfg["num_D"],
@@ -610,6 +611,8 @@ def check_lockstep_dynamics(ref="/root/reference", n_steps=8):
             evidence["per_step_rel_rms"][f"{n}.{grp}"] = {
                 "ours_vs_f64": [r[0] for r in rows],
                 "torch32_vs_f64_floor": [r[1] for r in rows],
+                "max_abs_ours_vs_f64": [r[2] for r in rows],
+                "max_abs_torch32_vs_f64_floor": [r[3] for r in rows],
                 "ok": bool(net_ok)}
     evidence["pass"] = bool(ok)
     path = os.path.join(os.path.dirname(os.path.dirname(
