@@ -118,3 +118,34 @@ def test_annotate_pupil():
     assert out.max() > 0          # crosshair drawn
     out2 = annotate_pupil(img, np.zeros_like(label))
     assert out2.max() == 0        # no pupil, unchanged
+
+
+def test_pix2pix_inference_with_batch_subnorm_encoder():
+    """End-to-end inference with norm_E='spectralbatch' (round-4 fix):
+    encode_w's eval branch must run torch-train-mode batch-stat BN via
+    mutable-discard (it previously raised on the running-stat write), and
+    eval_use_running_stats must switch the encoder to running stats —
+    the two modes must actually differ on non-degenerate input."""
+    import jax
+
+    from seg2eye_tpu.models.pix2pix import Pix2Pix
+    from seg2eye_tpu.options import Options
+
+    rng = np.random.default_rng(11)
+    batch = {
+        "label": jnp.asarray(rng.integers(0, 4, (2, 64, 64))),
+        "style_image": jnp.asarray(
+            rng.uniform(-1, 1, (2, 2, 64, 64, 1)).astype(np.float32)),
+    }
+    outs = {}
+    for ura in (False, True):
+        opt = Options(ngf=4, ndf=4, w_dim=8, crop_size=64, aspect_ratio=1.0,
+                      label_nc=4, input_ns=2, compute_dtype="float32",
+                      norm_E="spectralbatch",
+                      eval_use_running_stats=ura).finalize()
+        model = Pix2Pix(opt)
+        v = model.init_variables(jax.random.PRNGKey(0))
+        outs[ura] = np.asarray(jax.jit(model.inference)(v, batch))
+        assert np.isfinite(outs[ura]).all()
+    # batch-stat vs running-stat (fresh mean 0 / var 1) encodings differ
+    assert np.abs(outs[False] - outs[True]).max() > 1e-6
