@@ -43,6 +43,7 @@ LAM = dict(lambda_l2=10.0, lambda_style_w=1.0, lambda_feat=10.0,
 B, K, H, W = 2, 2, 320, 256
 LR, WD = 2e-4, 0.0
 GRAY = np.array([-0.8, -0.3, 0.2, 0.7], np.float32)
+GAN_MODE = "hinge"
 
 
 def make_stream(n_train=24, n_val=4, seed=5):
@@ -94,7 +95,7 @@ def run_torch(train_batches, val_batches, steps, eval_every, ref, seed=42):
         isTrain=True, continue_train=False, gpu_ids=[],
         init_type="xavier", init_variance=0.02,
         no_ganFeat_loss=False, no_vgg_loss=True,
-        gan_mode="hinge", style_aggr_method="mean",
+        gan_mode=GAN_MODE, style_aggr_method="mean",
         norm_G="spectralspadebatch3x3", norm_D="spectralinstance",
         norm_E="spectralinstance", semantic_nc=4, input_nc=1, output_nc=1,
         num_upsampling_layers="normal", netD_subarch="n_layer",
@@ -181,7 +182,7 @@ def run_jax(sd0, train_batches, val_batches, steps, eval_every):
     from seg2eye_tpu.utils import torch_convert as tc
 
     opt = Options(compute_dtype="float32", isTrain=True, input_ns=K,
-                  batchSize=B, no_ganFeat_loss=False, gan_mode="hinge",
+                  batchSize=B, no_ganFeat_loss=False, gan_mode=GAN_MODE,
                   style_aggr_method="mean", lr=LR, weight_decay=WD,
                   reuse_fake=False, **LAM, **CFG).finalize()
     model = Pix2Pix(opt)
@@ -231,7 +232,20 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=120)
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument("--ref", default="/root/reference")
+    p.add_argument("--gan_mode", default="hinge",
+                   choices=("hinge", "original", "ls", "w"))
+    p.add_argument("--lambdas", default="",
+                   help="comma k=v overrides of the LAM dict, e.g. "
+                        "lambda_gram=120,lambda_style_feat=0.5")
+    p.add_argument("--out", default="torch_twin.json",
+                   help="evidence filename (under evidence/)")
     a = p.parse_args(argv)
+    global GAN_MODE
+    GAN_MODE = a.gan_mode
+    for kv in filter(None, a.lambdas.split(",")):
+        k, v = kv.split("=")
+        assert k in LAM, k
+        LAM[k] = float(v)
 
     train_batches, val_batches = make_stream()
     sd0, th = run_torch(train_batches, val_batches, a.steps, a.eval_every,
@@ -257,7 +271,7 @@ def main(argv=None):
                    and gap <= max(0.15, 1.5 * seed_noise))
     out = {
         "config": {"steps": a.steps, "B": B, "K": K, "HxW": [H, W],
-                   "lambdas": LAM, "lr": LR, "gan_mode": "hinge",
+                   "lambdas": LAM, "lr": LR, "gan_mode": GAN_MODE,
                    "reference_loop":
                        "train.py:46-116 + pix2pix_trainer.py:26-45",
                    "ours": "StepFunctions.train_step reuse_fake=False, "
@@ -270,7 +284,7 @@ def main(argv=None):
                     "val_corr": corr, "both_converge": both_converge,
                     "pass": verdict},
     }
-    path = os.path.join(REPO, "evidence", "torch_twin.json")
+    path = os.path.join(REPO, "evidence", a.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     corr_s = "n/a" if corr is None else f"{corr:.3f}"
