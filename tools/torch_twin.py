@@ -17,7 +17,9 @@ PARITY.md "spectral u drift"), the fused encode once per step.  The twin
 therefore compares statistically: both must converge, with matching loss
 curves (relative gap + correlation reported).
 
-Writes evidence/torch_twin.json.
+Writes evidence/<--out> (default torch_twin.json; torch_twin_ls.json holds
+the second-config run: --gan_mode ls --lambdas lambda_gram=120,
+lambda_style_feat=0.5).
 Usage: JAX_PLATFORMS=cpu python tools/torch_twin.py [--steps 120]
 """
 import argparse
