@@ -61,7 +61,9 @@ def convert_generator(sd: Dict[str, np.ndarray], template) -> Dict:
     """torch SPADESTYLEGenerator state_dict -> {'params','spectral',
     'batch_stats'} matching SpadeStyleGenerator."""
     v = _to_mutable(template)
-    p, sp, bs = v["params"], v["spectral"], v["batch_stats"]
+    # batch_stats is absent for norm_G='spectralspadeinstance*' (SPADE
+    # param-free instance norm carries no running stats)
+    p, sp, bs = v["params"], v["spectral"], v.get("batch_stats", {})
     _set(p, ("fc", "kernel"), _conv(sd["fc.weight"]))
     _set(p, ("fc", "bias"), sd["fc.bias"])
     _set(p, ("conv_img", "kernel"), _conv(sd["conv_img.weight"]))

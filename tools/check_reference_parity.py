@@ -274,6 +274,56 @@ def main(ref="/root/reference"):
                             vdn, num_d=cfg["num_D"],
                             n_layers=cfg["n_layers_D"]), td_n)
 
+    # ---- generator variants: more/most upsampling + spadeinstance -------
+    # (generator.py:48-61 n_up branches; SPADE param-free instance norm,
+    # normalization.py:72-73 — no running stats, so conversion must
+    # tolerate an absent batch_stats collection)
+    from seg2eye_tpu.models.generator import SpadeStyleGenerator as FlaxGen
+
+    # 'most' is untestable against the reference: its branch calls
+    # self._get_resnet_block (generator.py:45), a method that does not
+    # exist in the fork (upstream-SPADE rename leftover) — the reference
+    # CRASHES at construction for num_upsampling_layers='most'.  Our
+    # generalization keeps it working (round-trip tested); recorded in
+    # PARITY.md "Reference-side dead code".
+    for up, ng in (("more", "spectralspadebatch3x3"),
+                   ("normal", "spectralspadeinstance3x3")):
+        ns_g = argparse.Namespace(**{**vars(ns),
+                                     "num_upsampling_layers": up,
+                                     "norm_G": ng})
+        torch.manual_seed(8)
+        tg_v = SPADESTYLEGenerator(ns_g)
+        with torch.no_grad():
+            tg_v.eval()
+            for bname, buf in tg_v.named_buffers():
+                if bname.endswith("running_mean"):
+                    buf.copy_(torch.from_numpy(
+                        rng.normal(size=tuple(buf.shape))
+                        .astype(np.float32) * 0.1))
+                elif bname.endswith("running_var"):
+                    buf.copy_(torch.from_numpy(
+                        rng.uniform(0.5, 1.5, tuple(buf.shape))
+                        .astype(np.float32)))
+        jg_v = FlaxGen(ngf=cfg["ngf"], crop_size=cfg["crop_size"],
+                       aspect_ratio=cfg["aspect_ratio"],
+                       w_dim=cfg["w_dim"], num_upsampling_layers=up,
+                       norm_g=ng)
+        vgv = tc.convert_generator(
+            sd(tg_v), jg_v.init(jax.random.PRNGKey(5),
+                                jnp.asarray(seg_np[:1]),
+                                jnp.zeros((1, cfg["w_dim"]),
+                                          jnp.float32)))
+        with torch.no_grad():
+            out_tv = tg_v(torch.from_numpy(np.transpose(
+                np.asarray(seg_np), (0, 3, 1, 2))),
+                torch.from_numpy(w_np)).numpy()
+        out_jv = jg_v.apply(vgv, jnp.asarray(seg_np), jnp.asarray(w_np),
+                            update_stats=False, use_running_average=True)
+        tag = f"G({up},{'instance' if 'instance' in ng else 'batch'})"
+        ok &= report(f"{tag} fwd", out_jv,
+                     np.transpose(out_tv, (0, 2, 3, 1)), 2e-4)
+        ok &= check_reverse(tag, sd(tg_v), tex.export_generator(vgv), tg_v)
+
     je_b = FlaxEnc(ngf=cfg["ngf"], w_dim=cfg["w_dim"],
                    crop_size=cfg["crop_size"], norm_e="spectralbatch")
     veb = tc.convert_encoder(
