@@ -26,3 +26,22 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Record the FULL-suite test count so the doc-stated counts are checked
+    against a measured artifact (tests/test_docs.py), not hand-synced.
+    Only written for unfiltered green runs over the whole tests/ dir."""
+    cfg = session.config
+    if (exitstatus == 0 and not cfg.getoption("keyword")
+            and not cfg.getoption("markexpr") and session.items):
+        import pathlib
+        here = pathlib.Path(__file__).resolve().parent
+        args = [a.split("::")[0] for a in cfg.invocation_params.args
+                if not a.startswith("-")]
+        full = all(pathlib.Path(a).resolve() in (here, here.parent)
+                   for a in args) if args else True
+        if full:
+            import json
+            (here.parent / "evidence" / "test_count.json").write_text(
+                json.dumps({"collected": len(session.items)}) + "\n")

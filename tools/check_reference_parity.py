@@ -31,12 +31,36 @@ configure_from_env()
 import numpy as np                                         # noqa: E402
 
 
+class _CheckCounter:
+    """Counts 'OK '/'FAIL' verdict lines so the advertised check count is
+    MEASURED, not hand-synced (tests/test_docs.py compares the docs against
+    the evidence/parity_counts.json this writes)."""
+
+    def __init__(self, wrapped):
+        self.wrapped = wrapped
+        self.ok = 0
+        self.fail = 0
+
+    def write(self, text):
+        for line in text.splitlines():
+            if line.startswith("OK "):
+                self.ok += 1
+            elif line.startswith("FAIL"):
+                self.fail += 1
+        return self.wrapped.write(text)
+
+    def flush(self):
+        return self.wrapped.flush()
+
+
 def main(ref="/root/reference"):
     import argparse
 
     import jax
     import jax.numpy as jnp
     import torch
+
+    counter = sys.stdout = _CheckCounter(sys.stdout)
 
     # persistent compile cache (shared with the test suite's CPU cache):
     # the training-parity value_and_grad programs are the slow part on this
@@ -428,7 +452,16 @@ def main(ref="/root/reference"):
     ok &= check_lockstep_dynamics(ref)
     ok &= check_tester_epilogue(ref)
 
-    print("\nPARITY:", "PASS" if ok else "FAIL")
+    sys.stdout = counter.wrapped
+    n_checks = counter.ok + counter.fail
+    counts = {"checks": n_checks, "ok": counter.ok, "fail": counter.fail,
+              "pass": bool(ok)}
+    cpath = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "evidence", "parity_counts.json")
+    with open(cpath, "w") as f:
+        json.dump(counts, f, indent=1)
+    print(f"\nPARITY: {'PASS' if ok else 'FAIL'} "
+          f"({counter.ok}/{n_checks} checks; counts -> {cpath})")
     return 0 if ok else 1
 
 
