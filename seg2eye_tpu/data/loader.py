@@ -132,11 +132,12 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         # The epoch shuffle MUST stay identical across processes (every
-        # process slices the same global permutation), so it gets its own
-        # generator that nothing else consumes.  Per-sample augmentation
-        # draws use a fresh generator seeded by (seed, epoch, global index)
-        # in _sample_rng — see there.
-        self._shuffle_rng = np.random.default_rng(seed)
+        # process slices the same global permutation) AND across restarts
+        # (resumed-vs-unbroken trajectory equivalence,
+        # tests/test_e2e.py::test_resume_trajectory_bitwise), so it is
+        # STATELESS: a fresh generator seeded by (seed, epoch) per epoch.
+        # Per-sample augmentation draws use a fresh generator seeded by
+        # (seed, epoch, global index) in _sample_rng — see there.
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -149,7 +150,7 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            self._shuffle_rng.shuffle(order)
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
         batches = []
         for i in range(0, n, self.batch_size):
             b = order[i:i + self.batch_size]
@@ -158,9 +159,26 @@ class DataLoader:
             batches.append(b)
         return batches
 
+    def skip_next_batches(self, n: int) -> None:
+        """Resume support: drop the first ``n`` index batches of the NEXT
+        epoch iteration (they were already trained before a mid-epoch
+        restart).  One-shot — resets after the next ``__iter__``.  Skipped
+        batches are never loaded from disk."""
+        self._skip_next = n
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the NEXT ``__iter__`` to training epoch ``epoch`` (torch
+        DistributedSampler convention).  The shuffle and the per-sample
+        augmentation streams are keyed by the epoch number, so a resumed
+        run that starts at epoch E replays exactly the stream the unbroken
+        run saw there — without this, a fresh loader restarts its local
+        epoch count at 1 and every stream diverges on resume."""
+        self._epoch = epoch - 1
+
     def __iter__(self) -> Iterator[Dict]:
         self._epoch += 1
-        batches = self._index_batches()
+        batches = self._index_batches()[getattr(self, "_skip_next", 0):]
+        self._skip_next = 0
         if self.prefetch <= 0:
             for idxs in batches:
                 yield self._load(idxs)

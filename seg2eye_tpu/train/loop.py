@@ -73,9 +73,16 @@ def train(opt: Options, max_steps: Optional[int] = None,
             variables=checkpoint.load_vgg(state.variables, opt))
     iter_counter = IterationCounter(opt, len(dataloader) * opt.batchSize,
                                     write_records=primary)
+    resume_skip = 0
     if opt.continue_train and checkpoint.has_checkpoint(opt, opt.which_epoch):
         state = checkpoint.load_state(state, opt, opt.which_epoch)
         print(f"Resumed networks from '{opt.which_epoch}' checkpoint")
+        # skip the already-trained batches of the resumed epoch so the
+        # resumed trajectory is BITWISE the unbroken one (the reference
+        # replays the whole epoch — its enumerate(start=epoch_iter),
+        # train.py:49, only renumbers the loop variable; tested:
+        # tests/test_e2e.py::test_resume_trajectory_bitwise)
+        resume_skip = iter_counter.epoch_iter // opt.batchSize
     if mesh is not None:
         # explicit placement: DP-replicated parameters, or TP-sharded conv
         # kernels over 'model' when opt.model_axis > 1 (GSPMD inserts the
@@ -112,6 +119,11 @@ def train(opt: Options, max_steps: Optional[int] = None,
             if iter_counter.current_epoch != epoch:
                 iter_counter.record_epoch_start(epoch)
             state = state_lib.set_learning_rate(state, opt, epoch)
+            # keys the shuffle + augmentation streams to the TRAINING epoch,
+            # so an epoch-boundary resume replays the unbroken run's stream
+            dataloader.set_epoch(epoch)
+            if resume_skip and epoch == iter_counter.first_epoch:
+                dataloader.skip_next_batches(resume_skip)
 
             # host->device transfer of the next batch overlaps this step
             prefetched = device_prefetch(

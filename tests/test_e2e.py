@@ -89,9 +89,58 @@ def test_sigterm_preemption_saves_latest(env):
 
 def test_resume_from_checkpoint(env):
     d, opt = env
-    opt2 = opt.replace(continue_train=True)
-    result = train(opt2, max_steps=1)
+    # the earlier run already covered all of niter=1's batches: a resume has
+    # nothing left to train (the reference would REPLAY the epoch — its
+    # enumerate(start=epoch_iter) only renumbers; we skip trained batches)
+    result = train(opt.replace(continue_train=True), max_steps=1)
+    assert result["steps"] == 0
+    # extending the schedule trains the next epoch
+    result = train(opt.replace(continue_train=True, niter=2), max_steps=1)
     assert result["steps"] == 1
+
+
+def test_resume_trajectory_bitwise(env):
+    """Round-4 verdict item 5: N steps straight vs N' + save/restore + rest
+    must give BITWISE-equal weights, optimizer moments, and step count.
+
+    The framework is deterministic end-to-end: explicit PRNG everywhere, the
+    epoch shuffle/augmentation streams are stateless in (seed, epoch), the
+    checkpoint carries net variables + Adam moments + step, iter.txt carries
+    the position, and a mid-epoch resume skips the already-trained batches
+    (loop.py resume_skip — the reference replays the epoch, train.py:49).
+    Shuffle and flips stay ON: determinism must not depend on serial mode."""
+    import jax
+
+    d, base = env
+    os.chdir(str(d))
+
+    def run(name, phases):
+        opt = base.replace(name=name, niter=2, save_epoch_freq=1).finalize()
+        opt.save()
+        result = None
+        for i, max_steps in enumerate(phases):
+            o = opt.replace(continue_train=(i > 0))
+            result = train(o, max_steps=max_steps)
+        return result
+
+    straight = run("exp_straight", [None])
+    n = straight["steps"]
+    assert n >= 4, f"need >=2 epochs of >=2 batches, got {n} steps"
+    split = run("exp_split", [3, None])          # 3 = mid-epoch cut
+    assert split["steps"] == n - 3
+
+    sa, sb = straight["state"], split["state"]
+    assert int(sa.step) == int(sb.step)
+    for label, ta, tb in (("variables", sa.variables, sb.variables),
+                          ("opt_g", sa.opt_g, sb.opt_g),
+                          ("opt_d", sa.opt_d, sb.opt_d)):
+        la = jax.tree_util.tree_leaves_with_path(jax.device_get(ta))
+        lb = dict(jax.tree_util.tree_leaves_with_path(jax.device_get(tb)))
+        assert len(la) == len(lb)
+        for path, va in la:
+            vb = lb[path]
+            assert np.array_equal(np.asarray(va), np.asarray(vb)), (
+                f"{label}{jax.tree_util.keystr(path)} differs after resume")
 
 
 def test_tester_full_run_and_error_log(env):
