@@ -58,9 +58,9 @@ from seg2eye_tpu.utils.roofline import peak_flops        # noqa: E402
 ASSUMED_BASELINE_IMG_S = 2.5
 
 
-def _setup(bs: int, reuse_fake: bool):
+def _setup(bs: int, reuse_fake: bool, crop_size: int = 256):
     opt = Options(batchSize=bs, compute_dtype="bfloat16",
-                  reuse_fake=reuse_fake).finalize()
+                  reuse_fake=reuse_fake, crop_size=crop_size).finalize()
     model = Pix2Pix(opt)
     state = state_lib.create_state(model, jax.random.PRNGKey(0))
     steps = StepFunctions(model, donate=True)
@@ -86,7 +86,8 @@ def _setup(bs: int, reuse_fake: bool):
     return state, steps, batch
 
 
-def measure(bs_candidates, steps_n: int, reuse_fake: bool):
+def measure(bs_candidates, steps_n: int, reuse_fake: bool,
+            crop_size: int = 256):
     state = steps = batch = None
     retry_sleep_s = int(os.environ.get("BENCH_RETRY_SLEEP_S", "120"))
     for ci, bs in enumerate(bs_candidates):
@@ -96,7 +97,7 @@ def measure(bs_candidates, steps_n: int, reuse_fake: bool):
         # time to re-establish) must not silently degrade the headline bs
         for attempt in range(3 if ci == 0 else 1):
             try:
-                state, steps, batch = _setup(bs, reuse_fake)
+                state, steps, batch = _setup(bs, reuse_fake, crop_size)
                 break
             # degrade batch size ONLY on resource/compile failures (OOM,
             # remote compile-helper crashes); numerical or shape regressions
@@ -150,7 +151,7 @@ def measure(bs_candidates, steps_n: int, reuse_fake: bool):
     step_s = (time.time() - t0) / steps_n
     peak = peak_flops(jax.devices()[0])
     mfu = (flops_per_step / step_s / peak) if (peak and flops_per_step) else 0.0
-    print(f"[bench] reuse_fake={reuse_fake} bs={bs} "
+    print(f"[bench] crop={crop_size} reuse_fake={reuse_fake} bs={bs} "
           f"pipelined={step_s * 1000:.1f}ms/step, "
           f"synced latency={latency_s * 1000:.1f}ms ({steps_n} steps), "
           f"{flops_per_step / 1e12:.2f} TFLOP/step, "
@@ -166,6 +167,27 @@ def main() -> None:
         else [16, 8, 4]
     ref = measure(candidates, steps_n, reuse_fake=False)
     rf = measure([ref["bs"]], steps_n, reuse_fake=True)
+    # Historical size-512 geometry (the published reference checkpoints came
+    # from crop/load 512 runs, scripts/current_runs_spadestyle.sh:11,62):
+    # one row at the 512x640 production shape so the config's fit and speed
+    # on one chip are MEASURED, not assumed.  Best-effort: a 512 failure
+    # must not kill the headline (skip with BENCH_SKIP_512=1).
+    s512 = None
+    if not os.environ.get("BENCH_SKIP_512"):
+        try:
+            s512 = measure([4, 2, 1], steps_n, reuse_fake=True,
+                           crop_size=512)
+        except Exception as e:                           # noqa: BLE001
+            print(f"[bench] size-512 row failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+    extra = {}
+    if s512 is not None:
+        extra = {
+            "size512_images_per_sec": round(s512["img_s"], 2),
+            "size512_step_ms": round(s512["step_s"] * 1000, 1),
+            "size512_batch_size": s512["bs"],
+            "size512_mfu": round(s512["mfu"], 4),
+        }
     print(json.dumps({
         "metric": "train_images_per_sec_chip",
         "value": round(rf["img_s"], 2),
@@ -181,6 +203,7 @@ def main() -> None:
         "ref_semantics_mfu": round(ref["mfu"], 4),
         "headline_note": "reuse_fake promoted on matched convergence "
                          "evidence (BASELINE.md r2)",
+        **extra,
     }))
 
 

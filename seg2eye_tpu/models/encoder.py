@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from seg2eye_tpu.models.layers import (SpectralConv, SubNorm,
+from seg2eye_tpu.models.layers import (SpectralConv, SubNorm, at_least_f32,
                                        parse_nonspade_norm, weight_init)
 from seg2eye_tpu.ops.image import resize_bilinear
 
@@ -72,7 +72,7 @@ class ConvEncoder(nn.Module):
         out = nn.leaky_relu(x, 0.2)
         out = out.reshape(out.shape[0], -1)
         mu = nn.Dense(self.w_dim, kernel_init=init,
-                      name="fc_mu")(out.astype(jnp.float32))
+                      name="fc_mu")(at_least_f32(out))
         logvar = nn.Dense(self.w_dim, kernel_init=init,
-                          name="fc_var")(out.astype(jnp.float32))
+                          name="fc_var")(at_least_f32(out))
         return mu, logvar, features

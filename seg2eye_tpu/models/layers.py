@@ -98,9 +98,18 @@ def he_fc_init(gain: float = 1.0) -> Callable:
     return init
 
 
+def at_least_f32(x: jax.Array) -> jax.Array:
+    """Stat/accumulation dtype policy: widen bf16 to f32, keep f32 — and
+    keep f64 (the float64 verification mode, ``compute_dtype='float64'``,
+    exists so the lockstep oracle can measure our trajectory against
+    torch-float64 without f32 casts truncating it —
+    tools/check_reference_parity.py check_lockstep_dynamics)."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Param-free instance norm over (H, W), NHWC."""
-    x32 = x.astype(jnp.float32)
+    x32 = at_least_f32(x)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.var(x32, axis=(1, 2), keepdims=True)
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
@@ -182,7 +191,7 @@ class TorchBatchNorm(nn.Module):
                                 lambda: jnp.zeros((feat,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((feat,), jnp.float32))
-        xf = x.astype(jnp.float32)
+        xf = at_least_f32(x)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -293,7 +302,7 @@ class FCStyle(nn.Module):
         w = self.param("weight", he_fc_init(self.gain),
                        (x.shape[-1], self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jnp.dot(x.astype(jnp.float32), w) + b
+        y = jnp.dot(at_least_f32(x), w) + b
         return nn.leaky_relu(y, 0.2).astype(x.dtype)
 
 

@@ -26,7 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from seg2eye_tpu.models.layers import FCStyle, SpectralConv, weight_init
+from seg2eye_tpu.models.layers import (FCStyle, SpectralConv, at_least_f32,
+                                       weight_init)
 
 
 def parse_norm_g(norm_g: str) -> Tuple[bool, str, int]:
@@ -76,9 +77,9 @@ class SpadeStyleBlock(nn.Module):
                         (3, 3, self.nhidden, c))
         bb = self.param("spade_mlp_beta_bias", zeros, (c,))
         style = FCStyle(c * 2, gain=1.0, name="adain_linear")(
-            w.astype(jnp.float32))                    # (N, 2C)
+            at_least_f32(w))                          # (N, 2C)
 
-        x32 = x.astype(jnp.float32)
+        x32 = at_least_f32(x)
         if self.param_free == "batch":
             ra_mean = self.variable("batch_stats", "mean",
                                     lambda: jnp.zeros((c,), jnp.float32))

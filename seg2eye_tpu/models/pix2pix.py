@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from seg2eye_tpu.models.discriminator import MultiscaleDiscriminator
 from seg2eye_tpu.models.encoder import ConvEncoder
 from seg2eye_tpu.models.generator import SpadeStyleGenerator
+from seg2eye_tpu.models.layers import at_least_f32
 from seg2eye_tpu.ops import losses as L
 from seg2eye_tpu.ops import metrics
 from seg2eye_tpu.ops.image import one_hot_label
@@ -59,7 +60,12 @@ class Pix2Pix:
         assert opt.netE == "conv", f"unknown netE '{opt.netE}'"
         assert opt.netD_subarch == "n_layer", opt.netD_subarch
         self.opt = opt
-        self.dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+        # float64 is the VERIFICATION mode (requires JAX_ENABLE_X64): it
+        # exists so the lockstep oracle can run our exact step semantics in
+        # double precision against torch.double (check_lockstep_dynamics)
+        self.dtype = {"bfloat16": jnp.bfloat16,
+                      "float64": jnp.float64}.get(opt.compute_dtype,
+                                                  jnp.float32)
         self.gen = SpadeStyleGenerator(
             ngf=opt.ngf, output_nc=opt.output_nc, semantic_nc=opt.semantic_nc,
             crop_size=opt.crop_size, aspect_ratio=opt.aspect_ratio,
@@ -135,6 +141,9 @@ class Pix2Pix:
                  constrain=None) -> Tuple[jax.Array, List[jax.Array], Dict]:
         """style: (B,k,H,W,1) -> (w (B,w_dim), aggregated features, new E vars)."""
         b, k = style.shape[:2]
+        if self.opt.per_sample_encode_enabled and b > 1:
+            return self._encode_w_per_sample(variables, style, train,
+                                             constrain)
         flat = style.reshape(b * k, *style.shape[2:])
         if train:
             (mu, logvar, feats), mut = self.enc.apply(
@@ -163,6 +172,57 @@ class Pix2Pix:
         feats = [self._aggregate(f, axis=1) for f in feats]
         return w, feats, new_e
 
+    def _encode_w_per_sample(self, variables: Dict, style: jax.Array,
+                             train: bool, constrain=None
+                             ) -> Tuple[jax.Array, List[jax.Array], Dict]:
+        """Reference-EXACT per-sample encoding (``--per_sample_encode``).
+
+        The reference runs netE once per SAMPLE over its k style refs
+        (pix2pix_model.py:285 ``self.netE(style_images[b])`` inside a Python
+        loop, aggregation at :299-303), so
+
+          * spectral-norm u power-iterates once per sample — sample b runs
+            with a (b+1)-times-iterated u (torch's pre-hook fires per
+            forward), and
+          * a batch-subnorm encoder (norm_E='spectralbatch',
+            normalization.py:15-47) computes BN batch statistics over each
+            sample's OWN k refs and advances running stats B times per step.
+
+        TPU-first shape: the loop becomes a ``lax.scan`` over the batch axis
+        threading the mutable collections (spectral u/v, batch_stats) as the
+        carry — one compiled program, sequential like the reference.  The
+        fused default (encode_w) coincides with this at B=1 or at the
+        spectral fixed point; this path removes the B>1 caveats entirely.
+        """
+        evars = variables["E"]
+        mut0 = {c: evars[c] for c in MUTABLE if c in evars}
+        static = {c: v for c, v in evars.items() if c not in mut0}
+        ura = self.opt.eval_use_running_stats
+        cs = constrain
+
+        def step(carry, style_b):          # style_b: (k,H,W,1)
+            if train:
+                (mu, logvar, feats), mut = self.enc.apply(
+                    {**static, **carry}, style_b, update_stats=True,
+                    mutable=MUTABLE)
+                carry = {c: mut.get(c, carry[c]) for c in carry}
+            else:
+                # same torch-train-mode batch-stat semantics as the fused
+                # eval path, but per-sample: stats over this sample's own k
+                # refs; updates discarded (mirrors generate())
+                (mu, logvar, feats), _ = self.enc.apply(
+                    {**static, **carry}, style_b, update_stats=False,
+                    use_running_average=ura, constrain=cs,
+                    mutable=["batch_stats"])
+            return carry, (mu, logvar, tuple(feats))
+
+        carry, (mu, logvar, feats) = jax.lax.scan(step, mut0, style)
+        new_e = {**static, **carry} if train else evars
+        # scan stacks per-sample outputs: mu (B,k,w_dim), feats (B,k,...)
+        w = self._aggregate(mu, axis=1)
+        feats = [self._aggregate(f, axis=1) for f in feats]
+        return w, feats, new_e
+
     def _aggregate(self, t: jax.Array, axis: int) -> jax.Array:
         if self.opt.style_aggr_method == "mean":
             return jnp.mean(t, axis=axis)
@@ -174,12 +234,12 @@ class Pix2Pix:
                  train: bool, constrain=None) -> Tuple[jax.Array, Dict]:
         if train:
             fake, mut = self.gen.apply(
-                variables["G"], seg, w.astype(jnp.float32),
+                variables["G"], seg, at_least_f32(w),
                 update_stats=True, use_running_average=False, mutable=MUTABLE)
             return fake, {**variables["G"], **mut}
         ura = self.opt.eval_use_running_stats
         if ura:
-            fake = self.gen.apply(variables["G"], seg, w.astype(jnp.float32),
+            fake = self.gen.apply(variables["G"], seg, at_least_f32(w),
                                   update_stats=False, use_running_average=True,
                                   constrain=constrain)
         else:
@@ -187,7 +247,7 @@ class Pix2Pix:
             # Tester never calls .eval(), SURVEY §2 C12), i.e. batch stats.
             # flax requires mutability for that; updates are discarded.
             fake, _ = self.gen.apply(variables["G"], seg,
-                                     w.astype(jnp.float32),
+                                     at_least_f32(w),
                                      update_stats=False,
                                      use_running_average=False,
                                      mutable=["batch_stats"],
@@ -284,8 +344,8 @@ class Pix2Pix:
             losses["L1/weighted"] = l1 * opt.lambda_l1
             raw["L1/raw"] = l1
         if opt.lambda_openeds:
-            eds = jnp.mean(metrics.mse_for_tensors(fake.astype(jnp.float32),
-                                                   target.astype(jnp.float32)))
+            eds = jnp.mean(metrics.mse_for_tensors(at_least_f32(fake),
+                                                   at_least_f32(target)))
             losses["openeds/weighted"] = eds * opt.lambda_openeds
             raw["openeds/raw"] = eds
 

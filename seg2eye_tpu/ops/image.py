@@ -64,13 +64,17 @@ def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
         pos = np.clip(pos, 0.0, in_n - 1)
         lo = np.minimum(np.floor(pos).astype(np.int32), in_n - 1)
         hi = np.minimum(lo + 1, in_n - 1)
-        frac = (pos - lo).astype(np.float32)
+        # keep f64 weights; cast to the compute dtype below (f32 for
+        # f32/bf16 inputs — unchanged — f64 under the verification mode)
+        frac = pos - lo
         return lo, hi, frac
 
     hlo, hhi, hf = axis(out_h, h)
     wlo, whi, wf = axis(out_w, w)
     dt = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    hf = hf.astype(xf.dtype)
+    wf = wf.astype(xf.dtype)
     top = xf[:, hlo]
     bot = xf[:, hhi]
     xh = top + (bot - top) * hf[None, :, None, None]
@@ -96,17 +100,18 @@ def resize_bilinear_ac(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     def axis_weights(out_n, in_n):
         if out_n == 1 or in_n == 1:
             lo = np.zeros(out_n, np.int32)
-            return lo, lo, np.ones(out_n, np.float32) * 0.0
+            return lo, lo, np.zeros(out_n, np.float64)
         pos = np.arange(out_n) * (in_n - 1) / (out_n - 1)
         lo = np.floor(pos).astype(np.int32)
         lo = np.minimum(lo, in_n - 2)
-        frac = (pos - lo).astype(np.float32)
-        return lo, lo + 1, frac
+        return lo, lo + 1, pos - lo
 
     hlo, hhi, hf = axis_weights(out_h, h)
     wlo, whi, wf = axis_weights(out_w, w)
     dt = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    hf = hf.astype(xf.dtype)
+    wf = wf.astype(xf.dtype)
     top = xf[:, hlo]
     bot = xf[:, hhi]
     xh = top + (bot - top) * hf[None, :, None, None]

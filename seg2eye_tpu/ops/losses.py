@@ -16,10 +16,12 @@ from typing import List, Sequence
 import jax
 import jax.numpy as jnp
 
+from seg2eye_tpu.models.layers import at_least_f32
+
 
 def _single_gan_loss(logits: jax.Array, target_is_real: bool,
                      for_discriminator: bool, mode: str) -> jax.Array:
-    x = logits.astype(jnp.float32)
+    x = at_least_f32(logits)
     if mode == "original":
         target = jnp.ones_like(x) if target_is_real else jnp.zeros_like(x)
         # binary_cross_entropy_with_logits, mean-reduced
@@ -71,18 +73,18 @@ def feature_matching_loss(pred_fake: Sequence[Sequence[jax.Array]],
     for i in range(num_d):
         for j in range(len(pred_fake[i]) - 1):
             real = jax.lax.stop_gradient(pred_real[i][j])
-            l1 = jnp.mean(jnp.abs(pred_fake[i][j].astype(jnp.float32) -
-                                  real.astype(jnp.float32)))
+            l1 = jnp.mean(jnp.abs(at_least_f32(pred_fake[i][j]) -
+                                  at_least_f32(real)))
             total = total + l1 * (lambda_feat / num_d)
     return total
 
 
 def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    return jnp.mean(jnp.abs(at_least_f32(a) - at_least_f32(b)))
 
 
 def l2_loss(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+    return jnp.mean((at_least_f32(a) - at_least_f32(b)) ** 2)
 
 
 def gram_matrix(feat: jax.Array) -> jax.Array:
@@ -90,14 +92,16 @@ def gram_matrix(feat: jax.Array) -> jax.Array:
     (B,C,H,W) to (B*C, H*W); we flatten NHWC equivalently)."""
     b, h, w, c = feat.shape
     f = jnp.transpose(feat, (0, 3, 1, 2)).reshape(b * c, h * w)
-    g = jnp.dot(f, f.T, preferred_element_type=jnp.float32)
+    g = jnp.dot(f, f.T,
+                preferred_element_type=jnp.promote_types(f.dtype,
+                                                         jnp.float32))
     return g / (b * c * h * w)
 
 
 def style_gram_loss(feat_fake: jax.Array, feat_real: jax.Array) -> jax.Array:
     """StyleLoss (loss.py:193-200): MSE between gram matrices, target detached."""
-    g_fake = gram_matrix(feat_fake.astype(jnp.float32))
-    g_real = jax.lax.stop_gradient(gram_matrix(feat_real.astype(jnp.float32)))
+    g_fake = gram_matrix(at_least_f32(feat_fake))
+    g_real = jax.lax.stop_gradient(gram_matrix(at_least_f32(feat_real)))
     return jnp.mean((g_fake - g_real) ** 2)
 
 

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from seg2eye_tpu.models.layers import at_least_f32
 from seg2eye_tpu.ops.image import to_255
 
 RELATIVE_FACTOR = 1471  # OpenEDS test-set size (loss.py:169-173)
@@ -22,8 +23,8 @@ RELATIVE_FACTOR = 1471  # OpenEDS test-set size (loss.py:169-173)
 def openeds_accuracy(produced: jax.Array, target: jax.Array) -> jax.Array:
     """Per-image sqrt(SSE)/(H*W). Accepts (..., H, W, C) NHWC batches and
     returns one scalar per leading batch element."""
-    p = produced.astype(jnp.float32)
-    t = target.astype(jnp.float32)
+    p = at_least_f32(produced)
+    t = at_least_f32(target)
     h, w = p.shape[-3], p.shape[-2]
     sq = (p - t) ** 2
     sse = jnp.sum(sq.reshape(sq.shape[0], -1), axis=-1)

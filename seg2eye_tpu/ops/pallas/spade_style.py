@@ -61,15 +61,18 @@ def spade_style_reference(x, seg, style, mean, var,
     """Unfused math. x:(N,H,W,C); seg:(N,H,W,S); style:(N,2C);
     mean/var:(N,C)."""
     c = x.shape[-1]
-    x32 = x.astype(jnp.float32)
+    # at-least-f32 epilogue dtype: f32 for f32/bf16 inputs (unchanged),
+    # f64 under the float64 verification mode (models/layers.at_least_f32)
+    f32 = jnp.promote_types(x.dtype, jnp.float32)
+    x32 = x.astype(f32)
     actv = seg_mlp_shared(seg.astype(x.dtype), ws, bs)
-    gamma = _conv3x3(actv, wg, bg).astype(jnp.float32)
-    beta = _conv3x3(actv, wb, bb).astype(jnp.float32)
+    gamma = _conv3x3(actv, wg, bg).astype(f32)
+    beta = _conv3x3(actv, wb, bb).astype(f32)
     normalized = (x32 - mean[:, None, None, :]) * \
         jax.lax.rsqrt(var[:, None, None, :] + eps)
     spade = normalized * (1.0 + gamma) + beta
-    s0 = style[:, :c].astype(jnp.float32)[:, None, None, :]
-    s1 = style[:, c:].astype(jnp.float32)[:, None, None, :]
+    s0 = style[:, :c].astype(f32)[:, None, None, :]
+    s1 = style[:, c:].astype(f32)[:, None, None, :]
     adain = x32 * (s0 + 1.0) + s1
     return ((spade + adain) * 0.5).astype(x.dtype)
 

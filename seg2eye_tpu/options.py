@@ -152,13 +152,38 @@ class Options:
     # the 'data' mesh axis so batches smaller than the device count still
     # use every chip (PARITY.md "spatial sharding"). test.py only.
     spatial_shard: bool = False
+    # Reference-EXACT per-sample style encoding (auto | on | off).  The
+    # reference encodes each sample's k style refs in a separate netE
+    # forward (pix2pix_model.py:285,299-303): spectral-norm u advances once
+    # PER SAMPLE, and a batch-subnorm encoder (norm_E='spectralbatch')
+    # normalizes each sample's refs with stats over ITS OWN k images.  The
+    # TPU-first default fuses the (B,k) axes into one encoder batch — same
+    # math at B=1 or at the spectral fixed point, one XLA call.  'auto'
+    # enables the exact lax.scan path only for a batch-subnorm encoder,
+    # where the fused batch statistics would deviate persistently at B>1.
+    per_sample_encode: str = "auto"
 
     # derived (filled by finalize(); base_options.py:158-161)
     semantic_nc: int = 4
 
     def finalize(self) -> "Options":
         self.semantic_nc = self.label_nc
+        if self.per_sample_encode not in ("auto", "on", "off"):
+            raise ValueError(
+                f"--per_sample_encode must be auto|on|off, "
+                f"got {self.per_sample_encode!r}")
         return self
+
+    @property
+    def per_sample_encode_enabled(self) -> bool:
+        """'auto' resolves to ON exactly for a batch-subnorm encoder, where
+        the fused (B*k) statistics deviate persistently from the reference's
+        per-sample loop at B>1 (PARITY.md 'Batch-subnorm stats')."""
+        if self.per_sample_encode == "auto":
+            sub = (self.norm_E[len("spectral"):]
+                   if self.norm_E.startswith("spectral") else self.norm_E)
+            return sub == "batch"
+        return self.per_sample_encode == "on"
 
     # image geometry used everywhere: 'fixed' preprocess resizes to
     # W=crop_size, H=round(crop_size/aspect_ratio) (data/base_dataset.py:67-70)
