@@ -40,17 +40,41 @@ class TrainState:
         return self.variables["D"]["params"]
 
 
+def ge_live_mask(params) -> dict:
+    """torch.optim.Adam SKIPS parameters whose ``.grad`` is None — and in
+    the reference trainer exactly one G-optimizer param group never receives
+    gradients: netE's ``fc_var`` (logvar feeds only the dead
+    encode_z/KLD path, pix2pix_model.py:266-269).  torch therefore never
+    touches it — no Adam step, no weight decay.  jax gradients there are
+    zeros rather than None, which is equivalent at weight_decay=0 but under
+    coupled wd becomes a real ±lr·sign(p) beta1=0 Adam move every step.
+    Measured: the round-5 lockstep ours-float64 arm localized the E.params
+    drift (2.4e-2 step-1 rel rms, precision-independent, surviving the
+    style-lambda ablation) to exactly this — evidence/lockstep.json.
+    Masking fc_var out of the G optimizer reproduces torch bit-for-bit."""
+    def live(path, _leaf):
+        return not any(getattr(k, "key", None) == "fc_var" for k in path)
+    return jax.tree_util.tree_map_with_path(live, params)
+
+
 def make_optimizer(lr: float, beta1: float, beta2: float,
-                   weight_decay: float = 0.0) -> optax.GradientTransformation:
+                   weight_decay: float = 0.0,
+                   live_mask=None) -> optax.GradientTransformation:
     def build(learning_rate):
         if weight_decay:
             # torch.optim.Adam(weight_decay=) adds wd*param to the gradient
             # BEFORE the Adam moments (coupled L2), unlike decoupled adamw
-            return optax.chain(
+            tx = optax.chain(
                 optax.add_decayed_weights(weight_decay),
                 optax.scale_by_adam(b1=beta1, b2=beta2),
                 optax.scale_by_learning_rate(learning_rate))
-        return optax.adam(learning_rate, b1=beta1, b2=beta2)
+        else:
+            tx = optax.adam(learning_rate, b1=beta1, b2=beta2)
+        if live_mask is not None:
+            # dead (masked-out) leaves pass their raw gradient — exactly 0
+            # for a dead param — through as the update: frozen, like torch
+            tx = optax.masked(tx, live_mask)
+        return tx
     return optax.inject_hyperparams(build)(learning_rate=lr)
 
 
@@ -73,7 +97,8 @@ def create_state(model: Pix2Pix, rng: jax.Array) -> TrainState:
         return TrainState(step=jnp.zeros((), jnp.int32), variables=variables)
     b1, b2 = ttur_betas(opt)
     g_lr, d_lr = ttur_lrs(opt, opt.lr)
-    tx_g = make_optimizer(g_lr, b1, b2, opt.weight_decay)
+    tx_g = make_optimizer(g_lr, b1, b2, opt.weight_decay,
+                          live_mask=ge_live_mask)
     tx_d = make_optimizer(d_lr, b1, b2, opt.weight_decay)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -17,7 +17,8 @@ from typing import Dict
 import jax
 
 from seg2eye_tpu.models.pix2pix import Pix2Pix
-from seg2eye_tpu.train.state import TrainState, make_optimizer, ttur_betas, ttur_lrs
+from seg2eye_tpu.train.state import (TrainState, ge_live_mask, make_optimizer,
+                                     ttur_betas, ttur_lrs)
 
 
 def _extra_nets(state: TrainState) -> Dict:
@@ -96,7 +97,8 @@ class StepFunctions:
         opt = model.opt
         b1, b2 = ttur_betas(opt)
         g_lr, d_lr = ttur_lrs(opt, opt.lr)
-        self.tx_g = make_optimizer(g_lr, b1, b2, opt.weight_decay)
+        self.tx_g = make_optimizer(g_lr, b1, b2, opt.weight_decay,
+                                   live_mask=ge_live_mask)
         self.tx_d = make_optimizer(d_lr, b1, b2, opt.weight_decay)
         dn = (0,) if donate else ()
         self.g_step = jax.jit(self._g_step, donate_argnums=dn)

@@ -35,25 +35,32 @@ import numpy as np
 from seg2eye_tpu.utils.torch_convert import GEN_BLOCKS
 
 
+def _f32(x):
+    """To torch-checkpoint dtype: f32 for f32/bf16 leaves — but KEEP f64
+    (the float64 verification mode must export without rounding, or the
+    lockstep ours-f64 arm's measurement floor becomes the f32 half-ulp
+    2^-25 instead of f64 noise)."""
+    a = np.asarray(x)
+    if a.dtype == np.float64:
+        return a
+    return a.astype(np.float32)
+
+
 def _conv(k):
     """flax HWIO kernel -> torch OIHW weight."""
-    return np.transpose(np.asarray(k), (3, 2, 0, 1)).astype(np.float32)
+    return _f32(np.transpose(np.asarray(k), (3, 2, 0, 1)))
 
 
 def _lin(w):
-    return np.transpose(np.asarray(w), (1, 0)).astype(np.float32)
-
-
-def _f32(x):
-    return np.asarray(x).astype(np.float32)
+    return _f32(np.transpose(np.asarray(w), (1, 0)))
 
 
 def _unperm_v(v, kernel_hwio):
     """Inverse of torch_convert._perm_v: our spectral v flattens the kernel
     input axes in (kh,kw,I) order; torch's weight_v flattens (I,kh,kw)."""
     kh, kw, i, _ = kernel_hwio.shape
-    return np.transpose(np.asarray(v).reshape(kh, kw, i),
-                        (2, 0, 1)).reshape(-1).astype(np.float32)
+    return _f32(np.transpose(np.asarray(v).reshape(kh, kw, i),
+                             (2, 0, 1)).reshape(-1))
 
 
 def _bn(sd: Dict, torch_base: str, p_node, bs_node):

@@ -241,6 +241,11 @@ def main(argv=None):
                         "lambda_gram=120,lambda_style_feat=0.5")
     p.add_argument("--out", default="torch_twin.json",
                    help="evidence filename (under evidence/)")
+    p.add_argument("--extra_seeds", type=int, default=2,
+                   help="number of extra torch init seeds for the within-"
+                        "framework noise spread (one sample of a chaotic "
+                        "GAN endpoint is a weak estimate; 2-3 averaged "
+                        "samples make the 1.5x gate stable across reruns)")
     a = p.parse_args(argv)
     global GAN_MODE
     GAN_MODE = a.gan_mode
@@ -252,12 +257,17 @@ def main(argv=None):
     train_batches, val_batches = make_stream()
     sd0, th = run_torch(train_batches, val_batches, a.steps, a.eval_every,
                         a.ref)
-    # within-framework noise probe: the SAME reference loop from a different
-    # init seed on the same batches — GAN val endpoints are chaotic, so the
+    # within-framework noise probes: the SAME reference loop from different
+    # init seeds on the same batches — GAN val endpoints are chaotic, so the
     # cross-framework gap is judged against torch's own seed-to-seed spread
-    # (the segnet_dp_twin methodology, applied honestly to a GAN)
-    _, th2 = run_torch(train_batches, val_batches, a.steps, a.eval_every,
-                       a.ref, seed=43)
+    # (the segnet_dp_twin methodology, applied honestly to a GAN).  The
+    # spread is AVERAGED over --extra_seeds probes: one sample of a chaotic
+    # endpoint made the 1.5x gate flappable (round-4 advisor finding).
+    probes = {}
+    for i in range(max(1, a.extra_seeds)):
+        seed = 43 + i
+        _, probes[seed] = run_torch(train_batches, val_batches, a.steps,
+                                    a.eval_every, a.ref, seed=seed)
     jh = run_jax(sd0, train_batches, val_batches, a.steps, a.eval_every)
 
     def tail(h, k=3):
@@ -266,8 +276,10 @@ def main(argv=None):
     tv, jv = np.array(th["val"]), np.array(jh["val"])
     corr = float(np.corrcoef(tv, jv)[0, 1]) if len(tv) > 2 else None
     both_converge = bool(tv[-1] < 0.7 * tv[0] and jv[-1] < 0.7 * jv[0])
-    t_tail, t2_tail, j_tail = tail(th), tail(th2), tail(jh)
-    seed_noise = abs(t_tail - t2_tail) / max(t_tail, 1e-6)
+    t_tail, j_tail = tail(th), tail(jh)
+    probe_tails = {s_: tail(h) for s_, h in probes.items()}
+    seed_noise = float(np.mean([abs(t_tail - pt) / max(t_tail, 1e-6)
+                                for pt in probe_tails.values()]))
     gap = abs(t_tail - j_tail) / max(t_tail, 1e-6)
     verdict = bool(both_converge and (corr or 0) > 0.9
                    and gap <= max(0.15, 1.5 * seed_noise))
@@ -278,10 +290,14 @@ def main(argv=None):
                        "train.py:46-116 + pix2pix_trainer.py:26-45",
                    "ours": "StepFunctions.train_step reuse_fake=False, "
                            "identical converted init + batch stream"},
-        "torch": th, "torch_seed43": th2, "jax": jh,
-        "summary": {"tail_val_torch": t_tail, "tail_val_torch_seed43":
-                    t2_tail, "tail_val_jax": j_tail,
+        "torch": th,
+        **{f"torch_seed{s_}": h for s_, h in probes.items()},
+        "jax": jh,
+        "summary": {"tail_val_torch": t_tail,
+                    "tail_val_torch_probes": probe_tails,
+                    "tail_val_jax": j_tail,
                     "within_framework_seed_noise_rel": seed_noise,
+                    "seed_noise_probes": len(probes),
                     "cross_framework_gap_rel": gap,
                     "val_corr": corr, "both_converge": both_converge,
                     "pass": verdict},
@@ -290,10 +306,12 @@ def main(argv=None):
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     corr_s = "n/a" if corr is None else f"{corr:.3f}"
+    probe_s = "/".join(f"{v:.2f}" for v in probe_tails.values())
     print(f"TORCH TWIN: {'PASS' if verdict else 'FAIL'} "
-          f"(tail val torch {t_tail:.2f} / torch-seed43 {t2_tail:.2f} / "
-          f"jax {j_tail:.2f}; cross gap {gap:.1%} vs seed noise "
-          f"{seed_noise:.1%}; corr {corr_s}) -> {path}")
+          f"(tail val torch {t_tail:.2f} / probes {probe_s} / "
+          f"jax {j_tail:.2f}; cross gap {gap:.1%} vs mean seed noise "
+          f"{seed_noise:.1%} over {len(probes)} probes; corr {corr_s}) "
+          f"-> {path}")
     return 0 if verdict else 1
 
 
