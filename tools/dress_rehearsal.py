@@ -108,6 +108,17 @@ def main() -> int:
                      "--niter", "1", "--max_steps", str(args.steps)]
         + TINY_SEG2EYE)
 
+    # 3b. resume: the crash-recovery path users actually hit — reload the
+    # checkpoint + iter.txt + optimizer state and continue under an
+    # extended schedule (bitwise resumed-vs-unbroken trajectory equality is
+    # asserted in tests/test_e2e.py::test_resume_trajectory_bitwise; this
+    # exercises the same path through the real CLI chain)
+    run("train.py --continue_train", [
+        sys.executable, "train.py", "--dataroot", h5,
+        "--name", "rehearsal", "--checkpoints_dir", ckpt,
+        "--niter", "2", "--continue_train",
+        "--max_steps", str(args.steps)] + TINY_SEG2EYE)
+
     # 4. Seg2Eye predictions (the reference's submission path, test.py:13-28)
     run("test.py", [sys.executable, "test.py", "--dataroot", h5,
                     "--name", "rehearsal", "--checkpoints_dir", ckpt,
