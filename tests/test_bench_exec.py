@@ -31,7 +31,7 @@ class _StubSteps:
         return state, {"GAN": np.float32(0.5)}, None
 
 
-def _stub_setup(bs, reuse_fake):
+def _stub_setup(bs, reuse_fake, crop_size=256):
     return object(), _StubSteps(), {"target": np.zeros((bs, 4, 4, 1),
                                                        np.uint8)}
 
@@ -68,6 +68,9 @@ def test_main_emits_exactly_one_contract_json_line(monkeypatch, capsys):
     assert rec["value"] > 0
     assert rec["batch_size"] == 4
     assert rec["ref_semantics_images_per_sec"] > 0
+    # the historical size-512 row rides along (best-effort, round-5)
+    assert rec["size512_batch_size"] == 4
+    assert rec["size512_images_per_sec"] > 0
 
 
 def test_measure_retry_path_survives_setup_failure(monkeypatch):
@@ -80,7 +83,7 @@ def test_measure_retry_path_survives_setup_failure(monkeypatch):
     monkeypatch.setenv("BENCH_RETRY_SLEEP_S", "0")
     calls = {"setup": 0, "cleared": 0, "reset": 0}
 
-    def flaky_setup(bs, reuse_fake):
+    def flaky_setup(bs, reuse_fake, crop_size=256):
         calls["setup"] += 1
         if calls["setup"] == 1:
             raise RuntimeError("injected transient device wedge")
@@ -109,7 +112,7 @@ def test_measure_degrades_bs_on_persistent_failure(monkeypatch):
 
     monkeypatch.setenv("BENCH_RETRY_SLEEP_S", "0")
 
-    def oom_at_16(bs, reuse_fake):
+    def oom_at_16(bs, reuse_fake, crop_size=256):
         if bs == 16:
             raise RuntimeError("RESOURCE_EXHAUSTED: injected OOM")
         return _stub_setup(bs, reuse_fake)
