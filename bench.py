@@ -58,9 +58,11 @@ from seg2eye_tpu.utils.roofline import peak_flops        # noqa: E402
 ASSUMED_BASELINE_IMG_S = 2.5
 
 
-def _setup(bs: int, reuse_fake: bool, crop_size: int = 256):
+def _setup(bs: int, reuse_fake: bool, crop_size: int = 256,
+           remat: bool = False):
     opt = Options(batchSize=bs, compute_dtype="bfloat16",
-                  reuse_fake=reuse_fake, crop_size=crop_size).finalize()
+                  reuse_fake=reuse_fake, crop_size=crop_size,
+                  remat=remat).finalize()
     model = Pix2Pix(opt)
     state = state_lib.create_state(model, jax.random.PRNGKey(0))
     steps = StepFunctions(model, donate=True)
@@ -87,7 +89,7 @@ def _setup(bs: int, reuse_fake: bool, crop_size: int = 256):
 
 
 def measure(bs_candidates, steps_n: int, reuse_fake: bool,
-            crop_size: int = 256):
+            crop_size: int = 256, remat: bool = False):
     state = steps = batch = None
     retry_sleep_s = int(os.environ.get("BENCH_RETRY_SLEEP_S", "120"))
     for ci, bs in enumerate(bs_candidates):
@@ -97,7 +99,8 @@ def measure(bs_candidates, steps_n: int, reuse_fake: bool,
         # time to re-establish) must not silently degrade the headline bs
         for attempt in range(3 if ci == 0 else 1):
             try:
-                state, steps, batch = _setup(bs, reuse_fake, crop_size)
+                state, steps, batch = _setup(bs, reuse_fake, crop_size,
+                                             remat)
                 break
             # degrade batch size ONLY on resource/compile failures (OOM,
             # remote compile-helper crashes); numerical or shape regressions

@@ -44,6 +44,8 @@ class SpadeStyleGenerator(nn.Module):
     w_dim: int = 16
     init_type: str = "xavier"
     init_gain: float = 0.02
+    # checkpoint each SPADE+Style block under autodiff (see Options.remat)
+    remat: bool = False
 
     def latent_size(self):
         n_up = {"normal": 5, "more": 6, "most": 7}[self.num_upsampling_layers]
@@ -73,9 +75,13 @@ class SpadeStyleGenerator(nn.Module):
         init = weight_init(self.init_type, self.init_gain)
 
         def block(fin, fout, name):
-            return SpadeStyleResnetBlock(fin, fout, spectral, param_free, ks,
-                                         init_type=self.init_type,
-                                         init_gain=self.init_gain, name=name)
+            # static_argnums: (self, x, segmap, w, update_stats,
+            # use_running_average) — the two trailing Python bools
+            cls = (nn.remat(SpadeStyleResnetBlock, static_argnums=(4, 5))
+                   if self.remat else SpadeStyleResnetBlock)
+            return cls(fin, fout, spectral, param_free, ks,
+                       init_type=self.init_type,
+                       init_gain=self.init_gain, name=name)
 
         def run(blk, x, s):
             return cs(blk(x, cs(resize_nearest(seg, x.shape[1], x.shape[2])),

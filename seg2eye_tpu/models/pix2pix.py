@@ -71,7 +71,8 @@ class Pix2Pix:
             crop_size=opt.crop_size, aspect_ratio=opt.aspect_ratio,
             num_upsampling_layers=opt.num_upsampling_layers,
             norm_g=opt.norm_G, w_dim=opt.w_dim,
-            init_type=opt.init_type, init_gain=opt.init_variance)
+            init_type=opt.init_type, init_gain=opt.init_variance,
+            remat=opt.remat)
         self.enc = ConvEncoder(ngf=opt.ngf, w_dim=opt.w_dim,
                                crop_size=opt.crop_size, norm_e=opt.norm_E,
                                init_type=opt.init_type,

@@ -162,6 +162,13 @@ class Options:
     # enables the exact lax.scan path only for a batch-subnorm encoder,
     # where the fused batch statistics would deviate persistently at B>1.
     per_sample_encode: str = "auto"
+    # Rematerialize the generator's SPADE+Style blocks under autodiff
+    # (jax.checkpoint / nn.remat): the backward pass recomputes each block's
+    # internals instead of keeping them resident, trading ~1/3 extra G FLOPs
+    # for a large cut in activation HBM.  Numerics are unchanged (same ops,
+    # same order).  Off by default — the 256 geometry fits comfortably; the
+    # historical 512 geometry uses it to fit larger per-chip batches.
+    remat: bool = False
 
     # derived (filled by finalize(); base_options.py:158-161)
     semantic_nc: int = 4

@@ -31,7 +31,7 @@ class _StubSteps:
         return state, {"GAN": np.float32(0.5)}, None
 
 
-def _stub_setup(bs, reuse_fake, crop_size=256):
+def _stub_setup(bs, reuse_fake, crop_size=256, remat=False):
     return object(), _StubSteps(), {"target": np.zeros((bs, 4, 4, 1),
                                                        np.uint8)}
 
@@ -83,7 +83,7 @@ def test_measure_retry_path_survives_setup_failure(monkeypatch):
     monkeypatch.setenv("BENCH_RETRY_SLEEP_S", "0")
     calls = {"setup": 0, "cleared": 0, "reset": 0}
 
-    def flaky_setup(bs, reuse_fake, crop_size=256):
+    def flaky_setup(bs, reuse_fake, crop_size=256, remat=False):
         calls["setup"] += 1
         if calls["setup"] == 1:
             raise RuntimeError("injected transient device wedge")
@@ -112,7 +112,7 @@ def test_measure_degrades_bs_on_persistent_failure(monkeypatch):
 
     monkeypatch.setenv("BENCH_RETRY_SLEEP_S", "0")
 
-    def oom_at_16(bs, reuse_fake, crop_size=256):
+    def oom_at_16(bs, reuse_fake, crop_size=256, remat=False):
         if bs == 16:
             raise RuntimeError("RESOURCE_EXHAUSTED: injected OOM")
         return _stub_setup(bs, reuse_fake)
