@@ -173,12 +173,17 @@ def main() -> None:
     # Historical size-512 geometry (the published reference checkpoints came
     # from crop/load 512 runs, scripts/current_runs_spadestyle.sh:11,62):
     # one row at the 512x640 production shape so the config's fit and speed
-    # on one chip are MEASURED, not assumed.  Best-effort: a 512 failure
-    # must not kill the headline (skip with BENCH_SKIP_512=1).
+    # on one chip are MEASURED, not assumed.  bs=8 is the measured best
+    # (evidence/probe_512.json: 21.7 img/s, MFU 51%) now that
+    # configure_from_env disables XLA's crashing space-to-batch pass —
+    # round 4's bs=4 "HTTP 500" was that pass CHECK-failing, not OOM; bs=16
+    # genuinely OOMs and generator remat alone doesn't save it (same file).
+    # Best-effort: a 512 failure must not kill the headline
+    # (skip with BENCH_SKIP_512=1).
     s512 = None
     if not os.environ.get("BENCH_SKIP_512"):
         try:
-            s512 = measure([4, 2, 1], steps_n, reuse_fake=True,
+            s512 = measure([8, 4, 2], steps_n, reuse_fake=True,
                            crop_size=512)
         except Exception as e:                           # noqa: BLE001
             print(f"[bench] size-512 row failed: {type(e).__name__}: "

@@ -33,20 +33,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EVIDENCE = os.path.join(REPO, "evidence", "probe_512.json")
 NO_STB = "--xla_disable_hlo_passes=space-to-batch-converter"
 
-# name -> (bs, remat, disable_space_to_batch)
+# name -> (bs, remat, disable_space_to_batch, crop_size)
 VARIANTS = {
-    "bs2_default": (2, False, False),
-    "bs2_nostb": (2, False, True),
-    "bs4_nostb": (4, False, True),
-    "bs8_nostb": (8, False, True),
-    "bs4_remat_nostb": (4, True, True),
-    "bs8_remat_nostb": (8, True, True),
-    "bs16_nostb": (16, False, True),
-    "bs16_remat_nostb": (16, True, True),
+    "bs2_default": (2, False, False, 512),
+    "bs2_nostb": (2, False, True, 512),
+    "bs4_nostb": (4, False, True, 512),
+    "bs8_nostb": (8, False, True, 512),
+    "bs4_remat_nostb": (4, True, True, 512),
+    "bs8_remat_nostb": (8, True, True, 512),
+    "bs16_nostb": (16, False, True, 512),
+    "bs16_remat_nostb": (16, True, True, 512),
+    # headline-256 guard: disabling the pass must not regress the bs16
+    # crop-256 headline (162-164 ms in BENCH_r04) before it can go global
+    "c256_bs16_nostb": (16, False, True, 256),
+    "c256_bs16_nostb_reuse0": (16, False, True, -256),
 }
 
 
-def worker(bs: int, remat: bool, steps_n: int) -> None:
+def worker(bs: int, remat: bool, steps_n: int,
+           crop_size: int = 512) -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(REPO, ".jax_cache"))
     sys.path.insert(0, REPO)
@@ -58,7 +63,9 @@ def worker(bs: int, remat: bool, steps_n: int) -> None:
     import bench
 
     t0 = time.time()
-    state, steps, batch = bench._setup(bs, True, 512, remat)
+    # negative crop encodes reuse_fake=False (the ref-semantics arm)
+    reuse = crop_size > 0
+    state, steps, batch = bench._setup(bs, reuse, abs(crop_size), remat)
     compile_s = time.time() - t0
 
     flops = 0.0
@@ -83,6 +90,7 @@ def worker(bs: int, remat: bool, steps_n: int) -> None:
     mfu = (flops / step_s / peak) if (peak and flops) else 0.0
     print("PROBE512 " + json.dumps({
         "bs": bs, "remat": remat, "steps": steps_n,
+        "crop_size": abs(crop_size), "reuse_fake": reuse,
         "compile_s": round(compile_s, 1),
         "step_ms": round(step_s * 1000, 1),
         "img_s": round(bs / step_s, 2),
@@ -100,10 +108,11 @@ def main() -> None:
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--bs", type=int)
     ap.add_argument("--remat", type=int, default=0)
+    ap.add_argument("--crop", type=int, default=512)
     args = ap.parse_args()
 
     if args.worker:
-        worker(args.bs, bool(args.remat), args.steps)
+        worker(args.bs, bool(args.remat), args.steps, args.crop)
         return
 
     results = {}
@@ -112,13 +121,13 @@ def main() -> None:
             results = json.load(f).get("variants", {})
 
     for name in args.variants:
-        bs, remat, nostb = VARIANTS[name]
+        bs, remat, nostb, crop = VARIANTS[name]
         env = dict(os.environ)
         if nostb:
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + NO_STB).strip()
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--bs", str(bs), "--remat", str(int(remat)),
-               "--steps", str(args.steps)]
+               "--crop", str(crop), "--steps", str(args.steps)]
         print(f"[probe512] {name}: bs={bs} remat={remat} nostb={nostb}",
               file=sys.stderr, flush=True)
         t0 = time.time()
