@@ -127,7 +127,11 @@ def measure(bs_candidates, steps_n: int, reuse_fake: bool,
     # G+D step (forward+backward+optimizers), for the MFU figure
     flops_per_step = 0.0
     try:
-        cost = steps.train_step.lower(state, batch).compile().cost_analysis()
+        # same compiler options as the jitted step (utils/platform.py
+        # training_jit): hits the cache instead of recompiling, and avoids
+        # re-entering the space-to-batch crash at small batch
+        cost = steps.train_step.lower(state, batch).compile(
+            compiler_options=steps.compiler_options or None).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0))

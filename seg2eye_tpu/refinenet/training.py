@@ -28,6 +28,7 @@ import numpy as np
 import optax
 
 from seg2eye_tpu.data.loader import DataLoader, device_prefetch
+from seg2eye_tpu.utils.platform import training_jit
 from seg2eye_tpu.refinenet.checkpoint_manager import CheckpointManager
 from seg2eye_tpu.refinenet.config import RefineNetConfig
 from seg2eye_tpu.refinenet.loggers import GoogleSheetLogger, Tensorboard
@@ -105,8 +106,8 @@ class Trainer:
         # updated in place (input-output aliasing), halving their HBM
         # footprint during the update.  Callers that keep the pre-step state
         # alive (e.g. trajectory-comparison tests) must pass donate=False.
-        self.train_step = jax.jit(self._train_step,
-                                  donate_argnums=(0,) if donate else ())
+        self.train_step = training_jit(
+            self._train_step, donate_argnums=(0,) if donate else ())
         self.eval_step = jax.jit(self._eval_step)
         # the variables eval helpers read; set by init_state and kept fresh
         # by update_variables so test_model_on_all works standalone

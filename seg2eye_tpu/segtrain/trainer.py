@@ -41,6 +41,7 @@ import optax
 
 from seg2eye_tpu.models.deeplab import DeepLab
 from seg2eye_tpu.refinenet.training import device_batch
+from seg2eye_tpu.utils.platform import training_jit
 from seg2eye_tpu.segtrain.datasets import db_root_dir, make_data_loader
 from seg2eye_tpu.segtrain.losses import SegmentationLosses
 from seg2eye_tpu.segtrain.lr_scheduler import LRScheduler
@@ -218,7 +219,7 @@ class SegTrainer:
         # donate the train state: params/momentum/batch-stats are updated via
         # input-output aliasing instead of a second copy (self.state is always
         # reassigned; checkpoint device_gets read the current state only)
-        return jax.jit(step, donate_argnums=(0,))
+        return training_jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self):
         model, criterion, nclass = self.model, self.criterion, self.nclass

@@ -19,6 +19,7 @@ import jax
 from seg2eye_tpu.models.pix2pix import Pix2Pix
 from seg2eye_tpu.train.state import (TrainState, ge_live_mask, make_optimizer,
                                      ttur_betas, ttur_lrs)
+from seg2eye_tpu.utils.platform import training_compiler_options, training_jit
 
 
 def _extra_nets(state: TrainState) -> Dict:
@@ -101,9 +102,12 @@ class StepFunctions:
                                    live_mask=ge_live_mask)
         self.tx_d = make_optimizer(d_lr, b1, b2, opt.weight_decay)
         dn = (0,) if donate else ()
-        self.g_step = jax.jit(self._g_step, donate_argnums=dn)
-        self.d_step = jax.jit(self._d_step, donate_argnums=dn)
-        self.train_step = jax.jit(self._train_step, donate_argnums=dn)
+        # training_jit: backward passes contain backprop-filter convs, which
+        # hit the small-batch space-to-batch compile crash (utils/platform.py)
+        self.compiler_options = training_compiler_options()
+        self.g_step = training_jit(self._g_step, donate_argnums=dn)
+        self.d_step = training_jit(self._d_step, donate_argnums=dn)
+        self.train_step = training_jit(self._train_step, donate_argnums=dn)
 
     def _g_step(self, state: TrainState, batch: Dict):
         state, losses, fake = _g_update(self.model, self.tx_g, state, batch)

@@ -30,38 +30,48 @@ def wants_platform(argv, name: str) -> bool:
 
 
 # XLA's TPU space-to-batch converter CHECK-fails while propagating a
-# backprop-filter convolution at small batch (space_to_batch_converter.cc:2011
+# BACKPROP-FILTER convolution at small batch (space_to_batch_converter.cc:2011
 # "Operands to select must be the same shape; got f32[...] and pred[...]"),
-# SIGABRTing the compile service: any training compile with a small per-chip
+# SIGABRTing the compile service: any TRAINING compile with a small per-chip
 # batch (the 512-geometry regime, or tiny-config probes) dies before running.
-# Disabling the pass is measured strictly-better where it would have fired
-# (evidence/probe_512.json: bs2@512 +16% img/s, bs4/bs8@512 compile at all
-# instead of crashing) and neutral at the bs16 crop-256 headline (c256 guard
-# rows, same file).  ``--xla_disable_hlo_passes`` is a generic proto-backed
-# DebugOptions flag, so the axon compile helper honors it per-compile even
-# though xla_tpu_* tuning flags are unreachable (evidence/xla_flags_probe.json).
-SPACE_TO_BATCH_BUG_FLAG = "--xla_disable_hlo_passes=space-to-batch-converter"
+# Disabling the pass for training compiles is measured strictly-better where
+# it would have fired (evidence/probe_512.json: bs2@512 +16% img/s, bs4/bs8
+# @512 compile at all instead of crashing) and neutral at the bs16 crop-256
+# headline (c256 guard rows, same file).  Forward-only (eval/serving)
+# programs keep the pass: it is exactly what makes small-batch inference
+# fast (disabling it globally measured 2x slower bs=1 RefineNet serving,
+# 4.46 -> 8.66 ms — the round-5 global-XLA_FLAGS attempt, reverted).
+# ``xla_disable_hlo_passes`` is a generic proto-backed DebugOptions field,
+# so the axon compile helper honors per-jit compiler_options even though
+# the xla_tpu_* tuning surface is unreachable (evidence/xla_flags_probe.json).
+_SPACE_TO_BATCH_DISABLE = {"xla_disable_hlo_passes": "space-to-batch-converter"}
 
 
-def _workaround_space_to_batch_crash() -> None:
-    """Append the pass-disable to XLA_FLAGS (opt out: SEG2EYE_SPACE_TO_BATCH=1).
-
-    Must run before XLA first parses XLA_FLAGS (lazily, at first backend
-    use) — configure_from_env() is the first thing every CLI calls, so this
-    ordering holds wherever it matters.
-    """
+def training_compiler_options() -> dict:
+    """Per-jit compiler options for TRAINING step programs (the only ones
+    containing backprop-filter convs).  Opt out: SEG2EYE_SPACE_TO_BATCH=1
+    re-enables the pass everywhere (e.g. a future fixed libtpu)."""
     if os.environ.get("SEG2EYE_SPACE_TO_BATCH") == "1":
-        return
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "--xla_disable_hlo_passes" in flags:
-        return      # caller manages pass disabling explicitly
-    os.environ["XLA_FLAGS"] = (flags + " " + SPACE_TO_BATCH_BUG_FLAG).strip()
+        return {}
+    return dict(_SPACE_TO_BATCH_DISABLE)
+
+
+def training_jit(fun=None, **jit_kwargs):
+    """``jax.jit`` for training-step programs: injects the space-to-batch
+    workaround compiler options (unless the caller already set some)."""
+    import jax
+
+    opts = training_compiler_options()
+    if opts and "compiler_options" not in jit_kwargs:
+        jit_kwargs["compiler_options"] = opts
+    if fun is None:
+        return lambda f: jax.jit(f, **jit_kwargs)
+    return jax.jit(fun, **jit_kwargs)
 
 
 def configure_from_env() -> None:
     import jax
 
-    _workaround_space_to_batch_crash()
     plat = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
     if plat:
         jax.config.update("jax_platforms", plat)

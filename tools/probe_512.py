@@ -31,7 +31,6 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EVIDENCE = os.path.join(REPO, "evidence", "probe_512.json")
-NO_STB = "--xla_disable_hlo_passes=space-to-batch-converter"
 
 # name -> (bs, remat, disable_space_to_batch, crop_size)
 VARIANTS = {
@@ -70,7 +69,9 @@ def worker(bs: int, remat: bool, steps_n: int,
 
     flops = 0.0
     try:
-        cost = steps.train_step.lower(state, batch).compile().cost_analysis()
+        cost = steps.train_step.lower(state, batch).compile(
+            compiler_options=getattr(steps, "compiler_options", None) or None
+        ).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -123,8 +124,10 @@ def main() -> None:
     for name in args.variants:
         bs, remat, nostb, crop = VARIANTS[name]
         env = dict(os.environ)
-        if nostb:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + NO_STB).strip()
+        if not nostb:
+            # training_jit disables the pass by default now; this arm
+            # re-enables it to measure/SIGABRT the stock behavior
+            env["SEG2EYE_SPACE_TO_BATCH"] = "1"
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--bs", str(bs), "--remat", str(int(remat)),
                "--crop", str(crop), "--steps", str(args.steps)]
